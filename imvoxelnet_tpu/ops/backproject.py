@@ -1,0 +1,131 @@
+"""Image-to-voxel backprojection (the ImVoxelNet core op), TPU-native.
+
+Reference semantics (``mmdet3d/models/detectors/imvoxelnet.py:132-160``):
+every voxel center is projected into every view with a ``(3, 4)`` projection
+matrix, sampled with *nearest* (round) gather from the stride-4 feature map,
+masked by image bounds and positive depth, then mean-pooled over the views
+that see it.  The reference runs a python loop over views with boolean-mask
+scatter; here the whole thing is a single fused XLA computation: a
+``lax.scan`` over the (static) view axis accumulating ``(P, C)`` feature sums
+and ``(P,)`` view counts, so peak memory is O(P*C) regardless of the number of
+views (ScanNet tests with 50 views — ``configs/imvoxelnet/imvoxelnet_scannet.py:66``).
+
+Layouts are channel-last: features ``(V, Hf, Wf, C)``, volume ``(nx, ny, nz, C)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def get_points(n_voxels, voxel_size, origin):
+    """World coordinates of voxel centers, ``(nx, ny, nz, 3)``.
+
+    Parity: ``get_points`` (``imvoxelnet.py:132-141``):
+    ``points = idx * voxel_size + origin - n_voxels / 2 * voxel_size``.
+
+    Args:
+      n_voxels: static ``(3,)`` ints.
+      voxel_size: ``(3,)`` array or tuple of floats.
+      origin: ``(3,)`` array (may be traced — it is data-dependent).
+    """
+    nx, ny, nz = (int(v) for v in n_voxels)
+    voxel_size = jnp.asarray(voxel_size, jnp.float32)
+    origin = jnp.asarray(origin, jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2)
+    idx = jnp.stack([ix, iy, iz], axis=-1)
+    new_origin = origin - jnp.asarray([nx, ny, nz], jnp.float32) / 2.0 * voxel_size
+    return idx * voxel_size + new_origin
+
+
+def project_points(points, projection):
+    """Project ``(P, 3)`` world points with a ``(3, 4)`` matrix.
+
+    Returns nearest-pixel integer coords ``x, y (P,) int32`` and depth ``z``.
+    """
+    uvw = points @ projection[:, :3].T + projection[:, 3]
+    x = jnp.round(uvw[:, 0] / uvw[:, 2]).astype(jnp.int32)
+    y = jnp.round(uvw[:, 1] / uvw[:, 2]).astype(jnp.int32)
+    return x, y, uvw[:, 2]
+
+
+def backproject(features, points, projections, valid_hw=None):
+    """Backproject + multi-view mean-pool, fused.
+
+    Args:
+      features: ``(V, Hf, Wf, C)`` stride-4 2D feature maps (may be padded —
+        pass the actual valid extent via ``valid_hw``; masking replaces the
+        reference's ``feature[:, :, :h, :w]`` slice at ``imvoxelnet.py:69``).
+      points: ``(P, 3)`` voxel centers (flattened grid, x-major like the
+        reference's ``meshgrid`` ordering).
+      projections: ``(V, 3, 4)`` per-view ``K @ E[:3]``.
+      valid_hw: optional ``(2,)`` int array ``(h, w)`` of valid feature extent;
+        defaults to the full feature shape.
+
+    Returns:
+      volume: ``(P, C)`` mean-pooled features (zero where no view sees the voxel).
+      valid: ``(P,)`` bool, voxel seen by >= 1 view.
+    """
+    v, hf, wf, c = features.shape
+    if valid_hw is None:
+        valid_hw = jnp.array([hf, wf], jnp.int32)
+    flat_feats = features.reshape(v, hf * wf, c)
+
+    def one_view(carry, view):
+        acc, cnt = carry
+        feats, proj = view
+        x, y, z = project_points(points, proj)
+        valid = ((x >= 0) & (y >= 0) & (x < valid_hw[1]) & (y < valid_hw[0])
+                 & (z > 0))
+        flat_idx = jnp.clip(y, 0, hf - 1) * wf + jnp.clip(x, 0, wf - 1)
+        gathered = jnp.take(feats, flat_idx, axis=0, mode='clip')
+        gathered = jnp.where(valid[:, None], gathered, 0.0)
+        return (acc + gathered, cnt + valid.astype(acc.dtype)), None
+
+    init = (jnp.zeros((points.shape[0], c), features.dtype),
+            jnp.zeros((points.shape[0],), features.dtype))
+    (acc, cnt), _ = jax.lax.scan(one_view, init, (flat_feats, projections))
+    seen = cnt > 0
+    volume = jnp.where(seen[:, None], acc / jnp.maximum(cnt[:, None], 1.0), 0.0)
+    return volume, seen
+
+
+@functools.partial(jax.jit, static_argnames=('n_voxels',))
+def backproject_volume(features, projections, origin, n_voxels, voxel_size,
+                       valid_hw=None):
+    """End-to-end: voxel grid -> projection -> gather -> mean pool.
+
+    Returns ``volume (nx, ny, nz, C)`` and ``valid (nx, ny, nz)``, the
+    channel-last analog of ``extract_feat``'s per-sample body
+    (``imvoxelnet.py:62-74``).
+    """
+    nx, ny, nz = (int(x) for x in n_voxels)
+    points = get_points(n_voxels, voxel_size, origin).reshape(-1, 3)
+    volume, valid = backproject(features, points, projections, valid_hw)
+    c = features.shape[-1]
+    return volume.reshape(nx, ny, nz, c), valid.reshape(nx, ny, nz)
+
+
+def compute_projection(intrinsic, extrinsics, ratio):
+    """Per-view projection matrices ``K_scaled @ E[:3]``.
+
+    Parity: ``ImVoxelNet._compute_projection`` (``imvoxelnet.py:114-129``):
+    the first two intrinsic rows are divided by
+    ``ratio = ori_h / (img_h / stride)``.
+
+    Args:
+      intrinsic: ``(3, 3)`` (or ``(4, 4)``, top-left used).
+      extrinsics: ``(V, 4, 4)``.
+      ratio: scalar.
+    Returns:
+      ``(V, 3, 4)``.
+    """
+    k = intrinsic[:3, :3]
+    scale = jnp.array([1.0 / ratio, 1.0 / ratio, 1.0], jnp.float32)
+    k = k * scale[:, None]
+    return jnp.einsum('ij,vjk->vik', k, extrinsics[:, :3, :])

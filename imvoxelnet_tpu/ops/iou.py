@@ -1,0 +1,252 @@
+"""IoU computations (axis-aligned and rotated), fully differentiable jnp.
+
+TPU-native replacements for the reference's native kernels:
+  - ``boxes_iou_bev_gpu`` / ``boxes_overlap_bev_gpu``
+    (``mmdet3d/ops/iou3d/src/iou3d_kernel.cu:253-345``) -> vectorised rotated
+    rect intersection via exact convex-polygon vertex enumeration
+    (same math as ``mmdet3d/ops/rotated_iou/box_intersection_2d.py:11-166``,
+    with the CUDA ``sort_v`` kernel replaced by a mask-aware angle argsort —
+    differentiable, no custom kernel needed).
+  - ``bbox_overlaps`` (mmdet, axis-aligned 2D) and
+    ``axis_aligned_bbox_overlaps_3d``
+    (``mmdet3d/core/bbox/iou_calculators/iou3d_calculator.py:171-250``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as box_ops
+
+_EPS = 1e-8
+
+
+def bbox_overlaps_2d(boxes1, boxes2, mode: str = 'iou', eps: float = 1e-6):
+    """Pairwise axis-aligned 2D IoU; boxes ``(N, 4)`` xyxy -> ``(N, M)``."""
+    area1 = (boxes1[..., 2] - boxes1[..., 0]) * (boxes1[..., 3] - boxes1[..., 1])
+    area2 = (boxes2[..., 2] - boxes2[..., 0]) * (boxes2[..., 3] - boxes2[..., 1])
+    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    overlap = wh[..., 0] * wh[..., 1]
+    if mode == 'iou':
+        union = area1[..., :, None] + area2[..., None, :] - overlap
+    elif mode == 'iof':
+        union = jnp.broadcast_to(area1[..., :, None], overlap.shape)
+    else:
+        raise ValueError(mode)
+    return overlap / jnp.maximum(union, eps)
+
+
+def axis_aligned_bbox_overlaps_3d(boxes1, boxes2, mode: str = 'iou',
+                                  is_aligned: bool = False, eps: float = 1e-6):
+    """Axis-aligned 3D IoU/GIoU on ``(…, N, 6)`` corner-form boxes.
+
+    Parity: ``iou3d_calculator.py:207-320`` (used by AxisAlignedIoULoss for
+    the ScanNet heads).
+    """
+    area1 = ((boxes1[..., 3] - boxes1[..., 0]) * (boxes1[..., 4] - boxes1[..., 1])
+             * (boxes1[..., 5] - boxes1[..., 2]))
+    area2 = ((boxes2[..., 3] - boxes2[..., 0]) * (boxes2[..., 4] - boxes2[..., 1])
+             * (boxes2[..., 5] - boxes2[..., 2]))
+    if is_aligned:
+        lt = jnp.maximum(boxes1[..., :3], boxes2[..., :3])
+        rb = jnp.minimum(boxes1[..., 3:], boxes2[..., 3:])
+        wh = jnp.clip(rb - lt, 0)
+        overlap = wh[..., 0] * wh[..., 1] * wh[..., 2]
+        union = area1 + area2 - overlap
+        enc_lt = jnp.minimum(boxes1[..., :3], boxes2[..., :3])
+        enc_rb = jnp.maximum(boxes1[..., 3:], boxes2[..., 3:])
+    else:
+        lt = jnp.maximum(boxes1[..., :, None, :3], boxes2[..., None, :, :3])
+        rb = jnp.minimum(boxes1[..., :, None, 3:], boxes2[..., None, :, 3:])
+        wh = jnp.clip(rb - lt, 0)
+        overlap = wh[..., 0] * wh[..., 1] * wh[..., 2]
+        union = area1[..., :, None] + area2[..., None, :] - overlap
+        enc_lt = jnp.minimum(boxes1[..., :, None, :3], boxes2[..., None, :, :3])
+        enc_rb = jnp.maximum(boxes1[..., :, None, 3:], boxes2[..., None, :, 3:])
+    union = jnp.maximum(union, eps)
+    ious = overlap / union
+    if mode == 'iou':
+        return ious
+    if mode != 'giou':
+        raise ValueError(mode)
+    enc_wh = jnp.clip(enc_rb - enc_lt, 0)
+    enc = jnp.maximum(enc_wh[..., 0] * enc_wh[..., 1] * enc_wh[..., 2], eps)
+    return ious - (enc - union) / enc
+
+
+def bbox_overlaps_nearest_3d(boxes1, boxes2, mode: str = 'iou'):
+    """Nearest-BEV IoU between ``(N, 7)`` and ``(M, 7)`` boxes.
+
+    Parity: ``iou3d_calculator.py:94-140`` (``BboxOverlapsNearest3D`` — the
+    MaxIoU assignment metric for the KITTI/nuScenes Anchor3DHead).
+    """
+    return bbox_overlaps_2d(
+        box_ops.nearest_bev(boxes1), box_ops.nearest_bev(boxes2), mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# Rotated rectangle intersection (exact, differentiable).
+# ---------------------------------------------------------------------------
+
+def _segment_intersections(corners1, corners2):
+    """All 16 edge-edge intersection candidates of two rects.
+
+    Args:
+      corners1, corners2: ``(..., 4, 2)``.
+    Returns:
+      pts ``(..., 16, 2)``, mask ``(..., 16)``.
+    """
+    # edges: p -> q
+    p1 = corners1
+    q1 = jnp.roll(corners1, -1, axis=-2)
+    p2 = corners2
+    q2 = jnp.roll(corners2, -1, axis=-2)
+
+    # broadcast to (..., 4, 4, 2): edge i of rect1 x edge j of rect2
+    p1b = p1[..., :, None, :]
+    q1b = q1[..., :, None, :]
+    p2b = p2[..., None, :, :]
+    q2b = q2[..., None, :, :]
+
+    d1 = q1b - p1b
+    d2 = q2b - p2b
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    safe = jnp.abs(denom) > 1e-10
+    denom_safe = jnp.where(safe, denom, 1.0)
+    w = p2b - p1b
+    t = (w[..., 0] * d2[..., 1] - w[..., 1] * d2[..., 0]) / denom_safe
+    u = (w[..., 0] * d1[..., 1] - w[..., 1] * d1[..., 0]) / denom_safe
+    mask = safe & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    pts = p1b + t[..., None] * d1
+    pts = jnp.where(mask[..., None], pts, 0.0)
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), mask.reshape(shape[:-1])
+
+
+def _points_in_rect(points, rect_corners):
+    """Whether each of 4 ``points`` lies inside the (convex, CCW) rect."""
+    a = rect_corners
+    b = jnp.roll(rect_corners, -1, axis=-2)
+    # cross of edge (a->b) with (a->p) for every point/edge pair (..., P, 4)
+    ab = (b - a)[..., None, :, :]
+    ap = points[..., :, None, :] - a[..., None, :, :]
+    cross = ab[..., 0] * ap[..., 1] - ab[..., 1] * ap[..., 0]
+    # inside convex polygon if all same sign (allow either orientation)
+    return jnp.all(cross >= -1e-9, axis=-1) | jnp.all(cross <= 1e-9, axis=-1)
+
+
+def rect_intersection_area(corners1, corners2):
+    """Exact intersection area of two rotated rects, differentiable.
+
+    Vertex enumeration: 16 edge crossings + 4+4 contained corners; the
+    resulting convex polygon is sorted by angle around the centroid of the
+    valid vertices (the differentiable stand-in for the reference's CUDA
+    ``sort_v``), then integrated by the shoelace formula.
+
+    Args:
+      corners1, corners2: ``(..., 4, 2)``.
+    Returns:
+      ``(...,)`` intersection areas.
+    """
+    batch = jnp.broadcast_shapes(corners1.shape[:-2], corners2.shape[:-2])
+    corners1 = jnp.broadcast_to(corners1, batch + (4, 2))
+    corners2 = jnp.broadcast_to(corners2, batch + (4, 2))
+    inter_pts, inter_mask = _segment_intersections(corners1, corners2)
+    in2 = _points_in_rect(corners1, corners2)
+    in1 = _points_in_rect(corners2, corners1)
+
+    pts = jnp.concatenate([inter_pts, corners1, corners2], axis=-2)  # (..., 24, 2)
+    mask = jnp.concatenate([inter_mask, in2, in1], axis=-1)          # (..., 24)
+
+    num = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+    center = jnp.sum(jnp.where(mask[..., None], pts, 0.0), axis=-2,
+                     keepdims=True) / num[..., None]
+    rel = pts - center
+    angles = jnp.arctan2(rel[..., 1], rel[..., 0])
+    angles = jnp.where(mask, angles, 1e6)  # invalid points sort last
+    order = jnp.argsort(angles, axis=-1)
+    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    mask_sorted = jnp.take_along_axis(mask, order, axis=-1)
+
+    # pad the tail with the first vertex so the shoelace closes the polygon
+    first = pts_sorted[..., :1, :]
+    pts_closed = jnp.where(mask_sorted[..., None], pts_sorted, first)
+    nxt = jnp.roll(pts_closed, -1, axis=-2)
+    cross = (pts_closed[..., 0] * nxt[..., 1] - pts_closed[..., 1] * nxt[..., 0])
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
+    return jnp.where(jnp.squeeze(num, -1) > 2, area, 0.0)
+
+
+def rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2):
+    """Pairwise rotated BEV intersection areas ``(N, M)``.
+
+    Parity: ``boxes_overlap_bev_gpu`` (``iou3d_kernel.cu:253-267``).
+    """
+    c1 = box_ops.bev_corners(boxes_xywhr1)
+    c2 = box_ops.bev_corners(boxes_xywhr2)
+    return rect_intersection_area(c1[:, None], c2[None, :])
+
+
+def rotated_iou_bev(boxes_xywhr1, boxes_xywhr2):
+    """Pairwise rotated BEV IoU ``(N, M)``.
+
+    Parity: ``boxes_iou_bev_gpu`` (``iou3d_kernel.cu:268-283``).
+    """
+    inter = rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2)
+    a1 = boxes_xywhr1[:, 2] * boxes_xywhr1[:, 3]
+    a2 = boxes_xywhr2[:, 2] * boxes_xywhr2[:, 3]
+    return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, _EPS)
+
+
+def bbox_overlaps_3d(boxes1, boxes2, mode: str = 'iou'):
+    """Pairwise rotated 3D IoU of ``(N, 7)`` vs ``(M, 7)`` bottom-center boxes.
+
+    Parity: ``BaseInstance3DBoxes.overlaps`` (``base_box3d.py:385-443``) —
+    rotated BEV intersection x z-interval overlap / volume union.  Used by the
+    indoor evaluation protocol.
+    """
+    inter_bev = rotated_overlaps_bev(box_ops.bev(boxes1), box_ops.bev(boxes2))
+    zmin1, zmax1 = boxes1[:, 2], boxes1[:, 2] + boxes1[:, 5]
+    zmin2, zmax2 = boxes2[:, 2], boxes2[:, 2] + boxes2[:, 5]
+    z_overlap = jnp.clip(
+        jnp.minimum(zmax1[:, None], zmax2[None, :])
+        - jnp.maximum(zmin1[:, None], zmin2[None, :]), 0)
+    inter = inter_bev * z_overlap
+    vol1 = box_ops.volume(boxes1)
+    vol2 = box_ops.volume(boxes2)
+    if mode == 'iou':
+        denom = vol1[:, None] + vol2[None, :] - inter
+    elif mode == 'iof':
+        denom = jnp.broadcast_to(vol1[:, None], inter.shape)
+    else:
+        raise ValueError(mode)
+    return jnp.clip(inter / jnp.maximum(denom, _EPS), 0.0, 1.0)
+
+
+def iou_3d_aligned(boxes1_gc, boxes2_gc):
+    """Aligned (element-wise) rotated 3D IoU of gravity-center 7-DoF boxes.
+
+    The differentiable training loss core — parity with ``cal_iou_3d``
+    (``mmdet3d/ops/rotated_iou/oriented_iou_loss.py:86-110``) where boxes are
+    ``(x, y, z_center, w, h, l, alpha)``.
+    Args:
+      boxes1_gc, boxes2_gc: ``(..., 7)`` with z at the gravity center.
+    """
+    bev1 = jnp.concatenate([boxes1_gc[..., 0:2], boxes1_gc[..., 3:5],
+                            boxes1_gc[..., 6:7]], axis=-1)
+    bev2 = jnp.concatenate([boxes2_gc[..., 0:2], boxes2_gc[..., 3:5],
+                            boxes2_gc[..., 6:7]], axis=-1)
+    inter_bev = rect_intersection_area(
+        box_ops.bev_corners(bev1), box_ops.bev_corners(bev2))
+    zmax = jnp.minimum(boxes1_gc[..., 2] + boxes1_gc[..., 5] * 0.5,
+                       boxes2_gc[..., 2] + boxes2_gc[..., 5] * 0.5)
+    zmin = jnp.maximum(boxes1_gc[..., 2] - boxes1_gc[..., 5] * 0.5,
+                       boxes2_gc[..., 2] - boxes2_gc[..., 5] * 0.5)
+    inter = inter_bev * jnp.clip(zmax - zmin, 0)
+    vol1 = boxes1_gc[..., 3] * boxes1_gc[..., 4] * boxes1_gc[..., 5]
+    vol2 = boxes2_gc[..., 3] * boxes2_gc[..., 4] * boxes2_gc[..., 5]
+    union = jnp.maximum(vol1 + vol2 - inter, _EPS)
+    return inter / union

@@ -1,0 +1,25 @@
+"""Test harness: force CPU with 8 virtual devices so mesh / pjit logic is
+exercised without TPU hardware (SURVEY.md §4).
+
+The container's ``sitecustomize`` registers the axon TPU PJRT plugin and sets
+``JAX_PLATFORMS=axon`` at interpreter start; tests must run on CPU (fast,
+deterministic, 8-way mesh), so we override the platform selection before any
+backend is initialized.  For the fastest startup, invoke tests as::
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/
+
+but a plain ``python -m pytest tests/`` works too — the config update below
+redirects JAX to CPU before first use.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

@@ -1,0 +1,96 @@
+import numpy as np
+import jax.numpy as jnp
+
+from imvoxelnet_tpu.ops import backproject as bp
+
+
+def test_get_points_matches_reference_formula():
+    n_voxels = (4, 6, 2)
+    voxel_size = (0.5, 0.5, 0.5)
+    origin = jnp.asarray([1.0, 2.0, 3.0])
+    pts = np.asarray(bp.get_points(n_voxels, voxel_size, origin))
+    assert pts.shape == (4, 6, 2, 3)
+    # reference: points = idx * voxel_size + origin - n_voxels/2 * voxel_size
+    exp0 = np.array([0, 0, 0]) * 0.5 + np.array([1, 2, 3]) - np.array([4, 6, 2]) / 2 * 0.5
+    np.testing.assert_allclose(pts[0, 0, 0], exp0, atol=1e-6)
+    exp_last = np.array([3, 5, 1]) * 0.5 + np.array([1, 2, 3]) - np.array([4, 6, 2]) / 2 * 0.5
+    np.testing.assert_allclose(pts[3, 5, 1], exp_last, atol=1e-6)
+
+
+def _numpy_backproject(features, points, projections):
+    """Literal numpy port of the reference semantics (imvoxelnet.py:144-160)."""
+    v, hf, wf, c = features.shape
+    p = points.shape[0]
+    volume = np.zeros((v, p, c), np.float32)
+    valid_all = np.zeros((v, p), bool)
+    for i in range(v):
+        pts_h = np.concatenate([points, np.ones((p, 1), np.float32)], 1)
+        uvw = (projections[i] @ pts_h.T)
+        x = np.round(uvw[0] / uvw[2]).astype(int)
+        y = np.round(uvw[1] / uvw[2]).astype(int)
+        z = uvw[2]
+        valid = (x >= 0) & (y >= 0) & (x < wf) & (y < hf) & (z > 0)
+        volume[i][valid] = features[i, y[valid], x[valid]]
+        valid_all[i] = valid
+    cnt = valid_all.sum(0)
+    out = volume.sum(0)
+    seen = cnt > 0
+    out[seen] = out[seen] / cnt[seen][:, None]
+    out[~seen] = 0
+    return out, seen
+
+
+def test_backproject_matches_reference_semantics():
+    rng = np.random.RandomState(0)
+    v, hf, wf, c = 3, 12, 16, 8
+    features = rng.randn(v, hf, wf, c).astype(np.float32)
+    # simple pinhole projections looking down +z-ish with jitter
+    projections = []
+    for i in range(v):
+        k = np.array([[20.0, 0, wf / 2], [0, 20.0, hf / 2], [0, 0, 1]], np.float32)
+        e = np.eye(4, dtype=np.float32)[:3]
+        e[0, 3] = 0.2 * i
+        projections.append(k @ e)
+    projections = np.stack(projections)
+    points = bp.get_points((6, 6, 4), (0.3, 0.3, 0.3),
+                           jnp.asarray([0.0, 0.0, 2.0]))
+    points_flat = np.asarray(points).reshape(-1, 3)
+
+    got_vol, got_valid = bp.backproject(
+        jnp.asarray(features), jnp.asarray(points_flat), jnp.asarray(projections))
+    exp_vol, exp_valid = _numpy_backproject(features, points_flat, projections)
+
+    np.testing.assert_array_equal(np.asarray(got_valid), exp_valid)
+    np.testing.assert_allclose(np.asarray(got_vol), exp_vol, atol=1e-5)
+    assert np.asarray(got_valid).sum() > 10  # the setup actually hits voxels
+
+
+def test_backproject_valid_hw_masks_padding():
+    rng = np.random.RandomState(1)
+    features = rng.randn(1, 8, 8, 4).astype(np.float32)
+    k = np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]], np.float32)
+    proj = (k @ np.eye(4, dtype=np.float32)[:3])[None]
+    points = np.asarray(
+        bp.get_points((4, 4, 2), (0.25, 0.25, 0.25), jnp.asarray([0.0, 0.0, 1.5]))
+    ).reshape(-1, 3)
+
+    full_vol, full_valid = bp.backproject(
+        jnp.asarray(features), jnp.asarray(points), jnp.asarray(proj))
+    # restricting valid extent to 4x4 must equal slicing the feature map
+    sl_vol, sl_valid = bp.backproject(
+        jnp.asarray(features), jnp.asarray(points), jnp.asarray(proj),
+        valid_hw=jnp.asarray([4, 4]))
+    exp_vol, exp_valid = _numpy_backproject(features[:, :4, :4], points, proj)
+    np.testing.assert_array_equal(np.asarray(sl_valid), exp_valid)
+    np.testing.assert_allclose(np.asarray(sl_vol), exp_vol, atol=1e-5)
+    assert np.asarray(full_valid).sum() >= np.asarray(sl_valid).sum()
+
+
+def test_compute_projection_intrinsic_rescale():
+    intrinsic = jnp.asarray([[100.0, 0, 50], [0, 100.0, 40], [0, 0, 1]])
+    extrinsics = jnp.eye(4)[None]
+    proj = np.asarray(bp.compute_projection(intrinsic, extrinsics, ratio=2.0))
+    assert proj.shape == (1, 3, 4)
+    np.testing.assert_allclose(proj[0, 0, 0], 50.0)
+    np.testing.assert_allclose(proj[0, 1, 2], 20.0)
+    np.testing.assert_allclose(proj[0, 2, 2], 1.0)
