@@ -311,27 +311,59 @@ class ScanNetMultiViewDataset(BaseMultiViewDataset):
 class NuScenesMultiViewDataset(BaseMultiViewDataset):
     """nuScenes 6-camera car-only (``nuscenes_monocular_dataset.py:10-41``).
 
-    Reads the monocular info format produced by
-    ``tools/data_converter/nuscenes_monocular_converter.py``: per-sample
-    ``img_paths`` + per-camera ``lidar2img`` extrinsics with identity
-    intrinsics.
+    Reads the *standard* nuScenes info pkl (``nuscenes_converter.py``):
+    per-camera ``cams[cam]`` entries with ``data_path``, ``cam_intrinsic`` and
+    sensor2lidar transforms.  Like the reference wrapper, the full
+    ``lidar2img`` matrix is passed as the per-view "extrinsic" with an
+    identity intrinsic — the intrinsic rescale in ``_compute_projection``
+    then scales the first two projection rows, which is exactly right.
     """
+
+    CAMERAS = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
+               'CAM_BACK_LEFT', 'CAM_BACK_RIGHT')
+
+    def __init__(self, data_root, ann_file, *args, **kwargs):
+        super().__init__(data_root, ann_file, *args, **kwargs)
+        if isinstance(self.data_infos, dict):   # mmdet3d pkl: {infos, metadata}
+            self.data_infos = self.data_infos['infos']
 
     def get_data_info(self, index):
         info = self.data_infos[index]
+        img_paths, extrinsics = [], []
+        for cam in self.CAMERAS:
+            cam_info = info['cams'][cam]
+            img_paths.append(cam_info['data_path'])
+            l2c_r = np.linalg.inv(cam_info['sensor2lidar_rotation'])
+            l2c_t = cam_info['sensor2lidar_translation'] @ l2c_r.T
+            rt = np.eye(4)
+            rt[:3, :3] = l2c_r.T
+            rt[3, :3] = -l2c_t
+            viewpad = np.eye(4)
+            intrinsic = cam_info['cam_intrinsic']
+            viewpad[:intrinsic.shape[0], :intrinsic.shape[1]] = intrinsic
+            lidar2img = viewpad @ rt.T
+            extrinsics.append(lidar2img.astype(np.float32))
         return dict(
-            img_paths=list(info['img_paths']),
+            img_paths=img_paths,
             intrinsic=np.eye(4, dtype=np.float32),
-            extrinsics=[np.asarray(e, np.float32)
-                        for e in info['extrinsics']],
+            extrinsics=extrinsics,
         )
 
     def get_ann_info(self, index):
+        """Standard nuScenes GT -> car-only lidar boxes
+        (``nuscenes_dataset.py`` + the car filter at
+        ``nuscenes_monocular_dataset.py:26-35``)."""
         info = self.data_infos[index]
-        boxes = np.asarray(info['gt_boxes'], np.float32).reshape(-1, 7)
-        labels = np.asarray(info['gt_labels'], np.int64).reshape(-1)
-        keep = labels == 0   # car only
-        return dict(gt_bboxes_3d=boxes[keep], gt_labels_3d=labels[keep])
+        mask = info.get('valid_flag',
+                        np.asarray(info['num_lidar_pts']) > 0)
+        boxes = np.asarray(info['gt_boxes'], np.float32)[mask][:, :7]
+        names = np.asarray(info['gt_names'])[mask]
+        # boxes stored with gravity-center origin -> bottom-center
+        boxes = boxes.copy()
+        boxes[:, 2] -= boxes[:, 5] / 2
+        keep = names == 'car'
+        labels = np.zeros(int(keep.sum()), np.int64)
+        return dict(gt_bboxes_3d=boxes[keep], gt_labels_3d=labels)
 
 
 DATASETS = {

@@ -1,0 +1,74 @@
+"""Threaded prefetching data loader.
+
+The reference relies on torch's multi-process DataLoader
+(``workers_per_gpu`` in every config); here image decode + resize run in a
+thread pool (cv2 releases the GIL in its C++ kernels) while the accelerator
+step executes, with a bounded prefetch queue so host work overlaps device
+work.  Epoch shuffling and the RepeatDataset semantics
+(``dataset_wrappers.py:11-42``) are folded in.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, train: bool = True,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        """Yield collated numpy batches for one epoch."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.train:
+            rng = np.random.RandomState(self.seed + epoch)
+            rng.shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for bi, idxs in enumerate(batches):
+                    if stop.is_set():
+                        break
+                    rngs = [np.random.RandomState(
+                        (self.seed + epoch) * 1_000_003 + int(i)) for i in idxs]
+                    samples = list(pool.map(
+                        lambda a: self.dataset.get_sample(
+                            int(a[0]), self.train, a[1]),
+                        zip(idxs, rngs)))
+                    q.put(self.dataset.collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
