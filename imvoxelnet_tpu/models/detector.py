@@ -21,7 +21,7 @@ Batch layout (everything fixed-shape):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -61,23 +61,24 @@ class ImVoxelNetConfig:
     layout_head: Optional[lh.LayoutHeadConfig] = None
     axis_name: Optional[str] = None
     stride: int = 4                 # asserted == 4 in the reference
+    compute_dtype: str = 'float32'  # conv-path dtype; 'bfloat16' on TPU
 
 
-def build_neck(cfg: NeckConfig, axis_name):
+def build_neck(cfg: NeckConfig, axis_name, dtype):
     if cfg.kind == 'kitti':
         return necks3d.KittiImVoxelNeck(cfg.in_channels, cfg.out_channels,
-                                        axis_name, name='neck_3d')
+                                        axis_name, dtype, name='neck_3d')
     if cfg.kind == 'nuscenes':
         return necks3d.NuScenesImVoxelNeck(cfg.in_channels, cfg.out_channels,
-                                           axis_name, name='neck_3d')
+                                           axis_name, dtype, name='neck_3d')
     if cfg.kind == 'imvoxel':
         return necks3d.ImVoxelNeck(cfg.channels, cfg.out_channels,
                                    cfg.down_layers, cfg.up_layers,
-                                   axis_name, name='neck_3d')
+                                   axis_name, dtype, name='neck_3d')
     if cfg.kind == 'fast':
         return necks3d.FastIndoorImVoxelNeck(cfg.in_channels, cfg.n_blocks,
                                              cfg.out_channels, axis_name,
-                                             name='neck_3d')
+                                             dtype, name='neck_3d')
     raise ValueError(cfg.kind)
 
 
@@ -92,19 +93,20 @@ class ImVoxelNet(nn.Module):
         to LayoutHead-predicted pitch/roll (``imvoxelnet.py:59-61, 120-126``).
         """
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
         images = batch['images']
         b, v, h, w, _ = images.shape
         flat = images.reshape(b * v, h, w, 3)
 
-        feats = resnet_lib.resnet50().copy(name='backbone')(flat)
+        feats = resnet_lib.resnet50(dtype).copy(name='backbone')(flat)
 
         features_2d = None
         if cfg.layout_head is not None:
             c5 = feats[-1].reshape(b, v, *feats[-1].shape[1:])[:, 0]
             features_2d = lh.LayoutHead(cfg.layout_head, name='head_2d')(
-                c5, train)
+                c5.astype(jnp.float32), train)
 
-        x = fpn_lib.FPN(cfg.fpn_out_channels, name='neck')(feats)[0]
+        x = fpn_lib.FPN(cfg.fpn_out_channels, dtype, name='neck')(feats)[0]
         hf, wf = x.shape[1:3]
         assert h // hf == cfg.stride, (h, hf)
         x = x.reshape(b, v, hf, wf, -1)
@@ -129,13 +131,13 @@ class ImVoxelNet(nn.Module):
             x, batch['intrinsics'], extrinsics, batch['origins'],
             batch['img_shape'], batch['ratios'])
 
-        neck_outs = build_neck(cfg.neck, cfg.axis_name)(volume, train)
+        neck_outs = build_neck(cfg.neck, cfg.axis_name, dtype)(volume, train)
 
         if cfg.head_kind == 'anchor3d':
-            head_outs = a3d.Anchor3DHead(cfg.anchor_head, name='bbox_head')(
-                neck_outs[0])
+            head_outs = a3d.Anchor3DHead(cfg.anchor_head, dtype,
+                                         name='bbox_head')(neck_outs[0])
         else:
-            head_outs = ivh.IndoorHead(cfg.indoor_head, cfg.axis_name,
+            head_outs = ivh.IndoorHead(cfg.indoor_head, cfg.axis_name, dtype,
                                        name='bbox_head')(neck_outs, train)
         return head_outs, valid, features_2d
 

@@ -26,12 +26,14 @@ def _upsample_nearest_2x(x, out_hw):
 
 class FPN(nn.Module):
     out_channels: int = 64
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, inputs):
         n_levels = len(inputs)
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}')(inputs[i])
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f'lateral_{i}')(inputs[i])
             for i in range(n_levels)
         ]
         for i in range(n_levels - 1, 0, -1):
@@ -39,7 +41,7 @@ class FPN(nn.Module):
                 laterals[i], laterals[i - 1].shape[1:3])
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name=f'fpn_{i}')(laterals[i])
+                    dtype=self.dtype, name=f'fpn_{i}')(laterals[i])
             for i in range(n_levels)
         ]
         return outs

@@ -64,22 +64,28 @@ def _cls_bias_init(key, shape, dtype=jnp.float32):
 
 
 class Anchor3DHead(nn.Module):
-    """1x1 conv heads on the BEV map (``anchor3d_head.py:122-130``)."""
+    """1x1 conv heads on the BEV map (``anchor3d_head.py:122-130``);
+    outputs cast to float32 for the loss/decode path."""
 
     cfg: Anchor3DHeadConfig
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        x = x.astype(self.dtype)
         init = nn.initializers.normal(0.01)
         cls_score = nn.Conv(cfg.num_anchors * cfg.num_classes, (1, 1),
                             kernel_init=init, bias_init=_cls_bias_init,
-                            name='conv_cls')(x)
+                            dtype=self.dtype,
+                            name='conv_cls')(x).astype(jnp.float32)
         bbox_pred = nn.Conv(cfg.num_anchors * cfg.box_code_size, (1, 1),
-                            kernel_init=init, name='conv_reg')(x)
+                            kernel_init=init, dtype=self.dtype,
+                            name='conv_reg')(x).astype(jnp.float32)
         dir_pred = None
         if cfg.use_direction_classifier:
-            dir_pred = nn.Conv(cfg.num_anchors * 2, (1, 1), name='conv_dir_cls')(x)
+            dir_pred = nn.Conv(cfg.num_anchors * 2, (1, 1), dtype=self.dtype,
+                               name='conv_dir_cls')(x).astype(jnp.float32)
         return cls_score, bbox_pred, dir_pred
 
 

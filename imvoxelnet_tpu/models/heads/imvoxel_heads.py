@@ -67,9 +67,10 @@ class Scale(nn.Module):
         return x * s
 
 
-def _conv3(feats, use_bias, name):
+def _conv3(feats, use_bias, name, dtype=jnp.float32):
     return nn.Conv(feats, (3, 3, 3), padding=((1, 1),) * 3, use_bias=use_bias,
-                   kernel_init=nn.initializers.normal(0.01), name=name)
+                   kernel_init=nn.initializers.normal(0.01), dtype=dtype,
+                   name=name)
 
 
 def _cls_bias_init(key, shape, dtype=jnp.float32):
@@ -78,14 +79,20 @@ def _cls_bias_init(key, shape, dtype=jnp.float32):
 
 
 class IndoorHead(nn.Module):
-    """Shared-weight multi-scale head; returns channel-last level lists."""
+    """Shared-weight multi-scale head; returns channel-last level lists.
+
+    Outputs are cast back to float32 — losses, decodes and NMS stay exact
+    even when the conv path runs in bf16.
+    """
 
     cfg: IndoorHeadConfig
     axis_name: Optional[str] = None
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, xs, train: bool):
         cfg = self.cfg
+        xs = [x.astype(self.dtype) for x in xs]
         n_channels = xs[0].shape[-1]
         # shared convs applied to every level; per-level learnable Scale
         reg_tower = []
@@ -93,18 +100,20 @@ class IndoorHead(nn.Module):
         if cfg.version == 1:
             for j in range(cfg.n_convs):
                 reg_tower.append((
-                    _conv3(n_channels, False, f'reg_tower_{j}'),
+                    _conv3(n_channels, False, f'reg_tower_{j}', self.dtype),
                     nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name=f'reg_tower_bn_{j}')))
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name=f'reg_tower_bn_{j}')))
                 cls_tower.append((
-                    _conv3(n_channels, False, f'cls_tower_{j}'),
+                    _conv3(n_channels, False, f'cls_tower_{j}', self.dtype),
                     nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name=f'cls_tower_bn_{j}')))
-        centerness_conv = _conv3(1, False, 'centerness_conv')
-        reg_conv = _conv3(cfg.n_reg_outs, False, 'reg_conv')
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name=f'cls_tower_bn_{j}')))
+        centerness_conv = _conv3(1, False, 'centerness_conv', self.dtype)
+        reg_conv = _conv3(cfg.n_reg_outs, False, 'reg_conv', self.dtype)
         cls_conv = nn.Conv(
             cfg.n_classes, (3, 3, 3), padding=((1, 1),) * 3,
-            kernel_init=nn.initializers.normal(0.01),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
             bias_init=_cls_bias_init, name='cls_conv')
         level_scales = [Scale(name=f'scale_{i}') for i in range(len(xs))]
 
@@ -119,15 +128,15 @@ class IndoorHead(nn.Module):
             else:
                 center_in = x
 
-            centerness = centerness_conv(center_in)
-            reg_final = reg_conv(reg_feat)
+            centerness = centerness_conv(center_in).astype(jnp.float32)
+            reg_final = reg_conv(reg_feat).astype(jnp.float32)
             scale = level_scales[i]
             if cfg.with_yaw:
                 distance = jnp.exp(scale(reg_final[..., :6]))
                 bbox_pred = jnp.concatenate([distance, reg_final[..., 6:]], -1)
             else:
                 bbox_pred = jnp.exp(scale(reg_final))
-            cls_score = cls_conv(cls_feat)
+            cls_score = cls_conv(cls_feat).astype(jnp.float32)
 
             centernesses.append(centerness)
             bbox_preds.append(bbox_pred)

@@ -15,7 +15,7 @@ what the published checkpoints saw via plain BN over the local batch — we keep
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -26,6 +26,7 @@ class BN(nn.Module):
     """BatchNorm3d twin: torch eps/momentum, optional cross-replica sync."""
 
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -34,17 +35,18 @@ class BN(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
             name='bn')(x)
 
 
-def conv3(features, stride=1, padding=1, name=None):
+def conv3(features, stride=1, padding=1, name=None, dtype=jnp.float32):
     if isinstance(stride, int):
         stride = (stride,) * 3
     if isinstance(padding, int):
         padding = (padding,) * 3
     return nn.Conv(features, (3, 3, 3), strides=stride,
                    padding=tuple((p, p) for p in padding), use_bias=False,
-                   name=name)
+                   dtype=dtype, name=name)
 
 
 class ConvBnRelu3d(nn.Module):
@@ -53,13 +55,14 @@ class ConvBnRelu3d(nn.Module):
     padding: tuple = (1, 1, 1)
     use_bias: bool = True
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, (3, 3, 3), strides=self.stride,
                     padding=tuple((p, p) for p in self.padding),
-                    use_bias=self.use_bias, name='conv')(x)
-        x = BN(self.axis_name, name='norm')(x, train)
+                    use_bias=self.use_bias, dtype=self.dtype, name='conv')(x)
+        x = BN(self.axis_name, self.dtype, name='norm')(x, train)
         return nn.relu(x)
 
 
@@ -74,17 +77,20 @@ class BasicBlock3d(nn.Module):
     stride: int = 1
     zero_init_bn2: bool = False
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = conv3(self.planes, self.stride, name='conv1')(x)
-        out = BN(self.axis_name, name='bn1')(out, train)
+        out = conv3(self.planes, self.stride, name='conv1',
+                    dtype=self.dtype)(x)
+        out = BN(self.axis_name, self.dtype, name='bn1')(out, train)
         out = nn.relu(out)
-        out = conv3(self.planes, name='conv2')(out)
+        out = conv3(self.planes, name='conv2', dtype=self.dtype)(out)
         bn2 = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
             scale_init=(nn.initializers.zeros if self.zero_init_bn2
                         else nn.initializers.ones),
             name='bn2')
@@ -99,20 +105,23 @@ class BasicBlock3dV2(nn.Module):
     features: int
     stride: int = 1
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = conv3(self.features, self.stride, name='conv1')(x)
-        out = BN(self.axis_name, name='norm1')(out, train)
+        out = conv3(self.features, self.stride, name='conv1',
+                    dtype=self.dtype)(x)
+        out = BN(self.axis_name, self.dtype, name='norm1')(out, train)
         out = nn.relu(out)
-        out = conv3(self.features, name='conv2')(out)
-        out = BN(self.axis_name, name='norm2')(out, train)
+        out = conv3(self.features, name='conv2', dtype=self.dtype)(out)
+        out = BN(self.axis_name, self.dtype, name='norm2')(out, train)
         if self.stride != 1:
             identity = nn.Conv(self.features, (1, 1, 1),
                                strides=(self.stride,) * 3, use_bias=False,
-                               name='downsample_conv')(x)
-            identity = BN(self.axis_name, name='downsample_norm')(identity, train)
+                               dtype=self.dtype, name='downsample_conv')(x)
+            identity = BN(self.axis_name, self.dtype,
+                          name='downsample_norm')(identity, train)
         return nn.relu(out + identity)
 
 
@@ -128,20 +137,25 @@ class KittiImVoxelNeck(nn.Module):
     in_channels: int = 64
     out_channels: int = 256
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         a = self.axis_name
         c = self.in_channels
-        x = BasicBlock3d(c, axis_name=a, name='block0')(x, train)
+        x = x.astype(self.dtype)
+        x = BasicBlock3d(c, axis_name=a, dtype=self.dtype,
+                         name='block0')(x, train)
         x = ConvBnRelu3d(c * 2, (1, 1, 2), (1, 1, 1), axis_name=a,
-                         name='down0')(x, train)
-        x = BasicBlock3d(c * 2, axis_name=a, name='block1')(x, train)
+                         dtype=self.dtype, name='down0')(x, train)
+        x = BasicBlock3d(c * 2, axis_name=a, dtype=self.dtype,
+                         name='block1')(x, train)
         x = ConvBnRelu3d(c * 4, (1, 1, 2), (1, 1, 1), axis_name=a,
-                         name='down1')(x, train)
-        x = BasicBlock3d(c * 4, axis_name=a, name='block2')(x, train)
+                         dtype=self.dtype, name='down1')(x, train)
+        x = BasicBlock3d(c * 4, axis_name=a, dtype=self.dtype,
+                         name='block2')(x, train)
         x = ConvBnRelu3d(self.out_channels, (1, 1, 1), (0, 0, 0), axis_name=a,
-                         name='out_conv')(x, train)
+                         dtype=self.dtype, name='out_conv')(x, train)
         assert x.shape[3] == 1, f'z must collapse to 1, got {x.shape}'
         bev = x[:, :, :, 0, :]                 # (B, nx-2, ny-2, C)
         return [jnp.transpose(bev, (0, 2, 1, 3))]  # (B, ny-2, nx-2, C)
@@ -153,20 +167,25 @@ class NuScenesImVoxelNeck(nn.Module):
     in_channels: int = 64
     out_channels: int = 256
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         a = self.axis_name
         c = self.in_channels
-        x = BasicBlock3d(c, axis_name=a, name='block0')(x, train)
+        x = x.astype(self.dtype)
+        x = BasicBlock3d(c, axis_name=a, dtype=self.dtype,
+                         name='block0')(x, train)
         x = ConvBnRelu3d(c * 2, (2, 2, 2), (1, 1, 1), axis_name=a,
-                         name='down0')(x, train)
-        x = BasicBlock3d(c * 2, axis_name=a, name='block1')(x, train)
+                         dtype=self.dtype, name='down0')(x, train)
+        x = BasicBlock3d(c * 2, axis_name=a, dtype=self.dtype,
+                         name='block1')(x, train)
         x = ConvBnRelu3d(c * 4, (1, 1, 2), (1, 1, 1), axis_name=a,
-                         name='down1')(x, train)
-        x = BasicBlock3d(c * 4, axis_name=a, name='block2')(x, train)
+                         dtype=self.dtype, name='down1')(x, train)
+        x = BasicBlock3d(c * 4, axis_name=a, dtype=self.dtype,
+                         name='block2')(x, train)
         x = ConvBnRelu3d(self.out_channels, (1, 1, 1), (1, 1, 0), axis_name=a,
-                         name='out_conv')(x, train)
+                         dtype=self.dtype, name='out_conv')(x, train)
         assert x.shape[3] == 1, f'z must collapse to 1, got {x.shape}'
         bev = x[:, :, :, 0, :]
         return [jnp.transpose(bev, (0, 2, 1, 3))]
@@ -191,10 +210,12 @@ class ImVoxelNeck(nn.Module):
     down_layers: Sequence[int] = (1, 2, 3, 4)
     up_layers: Sequence[int] = (3, 2, 1)
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         a = self.axis_name
+        x = x.astype(self.dtype)
         chans = list(self.channels)
 
         # --- encoder
@@ -203,11 +224,12 @@ class ImVoxelNeck(nn.Module):
             if i > 0:
                 x = nn.Conv(ch, (3, 3, 3), strides=(2, 2, 2),
                             padding=((1, 1),) * 3, use_bias=False,
-                            name=f'down_conv_{i}')(x)
-                x = BN(a, name=f'down_bn_{i}')(x, train)
+                            dtype=self.dtype, name=f'down_conv_{i}')(x)
+                x = BN(a, self.dtype, name=f'down_bn_{i}')(x, train)
                 x = nn.relu(x)
             for j in range(self.down_layers[i]):
                 x = BasicBlock3d(ch, zero_init_bn2=True, axis_name=a,
+                                 dtype=self.dtype,
                                  name=f'down_{i}_{j}')(x, train)
             xs.append(x)
 
@@ -218,14 +240,15 @@ class ImVoxelNeck(nn.Module):
         for i in range(len(rev) - 1):
             x = _trilinear_up2(x)
             x = nn.Conv(rev[i + 1], (1, 1, 1), use_bias=False,
-                        name=f'up_conv_{i}')(x)
+                        dtype=self.dtype, name=f'up_conv_{i}')(x)
             y = nn.Conv(rev[i + 1], (1, 1, 1), use_bias=False,
-                        name=f'proj_conv_{i}')(xs[i + 1])
-            y = BN(a, name=f'proj_bn_{i}')(y, train)
+                        dtype=self.dtype, name=f'proj_conv_{i}')(xs[i + 1])
+            y = BN(a, self.dtype, name=f'proj_bn_{i}')(y, train)
             y = nn.relu(y)
             x = (x + y) / 2.0
             for j in range(self.up_layers[i]):
                 x = BasicBlock3d(rev[i + 1], zero_init_bn2=True, axis_name=a,
+                                 dtype=self.dtype,
                                  name=f'up_{i}_{j}')(x, train)
             outs.append(x)
 
@@ -234,8 +257,8 @@ class ImVoxelNeck(nn.Module):
         results = []
         for i, o in enumerate(outs):
             o = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                        name=f'out_conv_{i}')(o)
-            o = BN(a, name=f'out_bn_{i}')(o, train)
+                        dtype=self.dtype, name=f'out_conv_{i}')(o)
+            o = BN(a, self.dtype, name=f'out_bn_{i}')(o, train)
             results.append(nn.relu(o))
         return results
 
@@ -247,10 +270,12 @@ class FastIndoorImVoxelNeck(nn.Module):
     n_blocks: Sequence[int] = (1, 1, 1)
     out_channels: int = 128
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         a = self.axis_name
+        x = x.astype(self.dtype)
         n_scales = len(self.n_blocks)
         ch = self.in_channels
 
@@ -262,9 +287,10 @@ class FastIndoorImVoxelNeck(nn.Module):
                 if j == 0 and stride != 1:
                     ch = ch * 2
                     x = BasicBlock3dV2(ch, stride, axis_name=a,
+                                       dtype=self.dtype,
                                        name=f'down_{i}_{j}')(x, train)
                 else:
-                    x = BasicBlock3dV2(ch, 1, axis_name=a,
+                    x = BasicBlock3dV2(ch, 1, axis_name=a, dtype=self.dtype,
                                        name=f'down_{i}_{j}')(x, train)
             down_outs.append(x)
             chans.append(ch)
@@ -275,14 +301,17 @@ class FastIndoorImVoxelNeck(nn.Module):
                 # up_block_{i+1}: convT(2, 2) + bn + relu + conv3 + bn + relu
                 x = nn.ConvTranspose(chans[i], (2, 2, 2), strides=(2, 2, 2),
                                      use_bias=False, transpose_kernel=True,
+                                     dtype=self.dtype,
                                      name=f'up_convt_{i + 1}')(x)
-                x = BN(a, name=f'up_bn1_{i + 1}')(x, train)
+                x = BN(a, self.dtype, name=f'up_bn1_{i + 1}')(x, train)
                 x = nn.relu(x)
-                x = conv3(chans[i], name=f'up_conv_{i + 1}')(x)
-                x = BN(a, name=f'up_bn2_{i + 1}')(x, train)
+                x = conv3(chans[i], name=f'up_conv_{i + 1}',
+                          dtype=self.dtype)(x)
+                x = BN(a, self.dtype, name=f'up_bn2_{i + 1}')(x, train)
                 x = nn.relu(x)
                 x = down_outs[i] + x
-            o = conv3(self.out_channels, name=f'out_conv_{i}')(x)
-            o = BN(a, name=f'out_bn_{i}')(o, train)
+            o = conv3(self.out_channels, name=f'out_conv_{i}',
+                      dtype=self.dtype)(x)
+            o = BN(a, self.dtype, name=f'out_bn_{i}')(o, train)
             outs.append(nn.relu(o))
         return outs[::-1]

@@ -11,11 +11,13 @@ fused by XLA into the preceding convolution.
 
 Layout: NHWC images, HWIO kernels; bottleneck style 'pytorch' (stride-2 on the
 3x3 conv), matching ``pretrained='torchvision://resnet50'`` weights.
+``dtype`` is the computation dtype (bf16 on TPU for speed); parameters stay
+float32.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,6 +27,7 @@ class FrozenBatchNorm(nn.Module):
     """Inference-mode batch norm with parameters frozen via optimizer mask."""
 
     epsilon: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -33,8 +36,10 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (c,))
         mean = self.param('mean', nn.initializers.zeros, (c,))
         var = self.param('var', nn.initializers.ones, (c,))
-        inv = scale / jnp.sqrt(var + self.epsilon)
-        return x * inv + (bias - mean * inv)
+        inv = (scale / jnp.sqrt(var + self.epsilon)).astype(self.dtype)
+        shift = (bias - mean * scale / jnp.sqrt(var + self.epsilon)).astype(
+            self.dtype)
+        return x.astype(self.dtype) * inv + shift
 
 
 class Bottleneck(nn.Module):
@@ -42,42 +47,50 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
-        out = FrozenBatchNorm(name='bn1')(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name='conv1')(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False, name='conv2')(out)
-        out = FrozenBatchNorm(name='bn2')(out)
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, name='conv2')(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      name='conv3')(out)
-        out = FrozenBatchNorm(name='bn3')(out)
+                      dtype=self.dtype, name='conv3')(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name='bn3')(out)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name='downsample_conv')(x)
-            identity = FrozenBatchNorm(name='downsample_bn')(identity)
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            identity = FrozenBatchNorm(dtype=self.dtype,
+                                       name='downsample_bn')(identity)
         return nn.relu(out + identity)
 
 
 class ResNet(nn.Module):
-    """ResNet-{18,34 unsupported; 50,101} with bottleneck blocks.
+    """ResNet-50/101 with bottleneck blocks.
 
     Returns the 4 stage outputs (C2..C5) like mmdet's ``out_indices=(0,1,2,3)``.
     """
 
     stage_blocks: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     base_planes: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         x = nn.Conv(self.base_planes, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)), use_bias=False, name='conv1')(x)
-        x = FrozenBatchNorm(name='bn1')(x)
+                    padding=((3, 3), (3, 3)), use_bias=False,
+                    dtype=self.dtype, name='conv1')(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -90,11 +103,12 @@ class ResNet(nn.Module):
                     planes=planes,
                     stride=stride if block == 0 else 1,
                     downsample=(block == 0),
+                    dtype=self.dtype,
                     name=f'layer{stage + 1}_{block}')(x)
             outs.append(x)
             planes *= 2
         return outs
 
 
-def resnet50():
-    return ResNet(stage_blocks=(3, 4, 6, 3))
+def resnet50(dtype=jnp.float32):
+    return ResNet(stage_blocks=(3, 4, 6, 3), dtype=dtype)

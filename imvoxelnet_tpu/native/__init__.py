@@ -1,0 +1,106 @@
+"""ctypes loader for the native eval kernels.
+
+Compiles ``eval_kernels.cc`` with g++ on first use (no pybind11 in the image;
+plain C ABI + ctypes).  ``load()`` returns None when no compiler is available
+— callers fall back to the numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, 'eval_kernels.cc')
+_SO = os.path.join(_DIR, 'eval_kernels.so')
+
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+    lib.rect_intersection_areas.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.compute_statistics_thresholds.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    lib.rotated_nms_host.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_double, ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a, typ=ctypes.c_double):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def rect_intersection_areas(boxes1, boxes2):
+    lib = load()
+    assert lib is not None
+    b1 = np.ascontiguousarray(boxes1, np.float64)
+    b2 = np.ascontiguousarray(boxes2, np.float64)
+    out = np.zeros((len(b1), len(b2)), np.float64)
+    lib.rect_intersection_areas(_ptr(b1), len(b1), _ptr(b2), len(b2),
+                                _ptr(out))
+    return out
+
+
+def compute_statistics_thresholds(overlaps, dt_scores, dt_alphas, gt_alphas,
+                                  ignored_gt, ignored_det, dc_overlaps,
+                                  min_overlap, thresholds, compute_aos,
+                                  out_pr):
+    lib = load()
+    assert lib is not None
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    n_dt, n_gt = overlaps.shape
+    dc = np.ascontiguousarray(dc_overlaps, np.float64)
+    n_dc = dc.shape[1] if dc.size else 0
+    lib.compute_statistics_thresholds(
+        _ptr(overlaps), n_dt, n_gt,
+        _ptr(np.ascontiguousarray(dt_scores, np.float64)),
+        _ptr(np.ascontiguousarray(dt_alphas, np.float64)),
+        _ptr(np.ascontiguousarray(gt_alphas, np.float64)),
+        _ptr(np.ascontiguousarray(ignored_gt, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(ignored_det, np.int64), ctypes.c_int64),
+        _ptr(dc) if n_dc else _ptr(np.zeros(1)), n_dc,
+        float(min_overlap),
+        _ptr(np.ascontiguousarray(thresholds, np.float64)), len(thresholds),
+        int(compute_aos), _ptr(out_pr))
+
+
+def rotated_nms_host(boxes_xywhr, scores, iou_thr):
+    lib = load()
+    assert lib is not None
+    b = np.ascontiguousarray(boxes_xywhr, np.float64)
+    s = np.ascontiguousarray(scores, np.float64)
+    keep = np.zeros(len(b), np.uint8)
+    lib.rotated_nms_host(_ptr(b), _ptr(s), len(b), float(iou_thr),
+                         _ptr(keep, ctypes.c_uint8))
+    return keep.astype(bool)

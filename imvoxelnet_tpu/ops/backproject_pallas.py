@@ -2,19 +2,21 @@
 
 Fuses the whole per-sample hot path of ``extract_feat``
 (``mmdet3d/models/detectors/imvoxelnet.py:144-160`` + mean pool :70-74) into
-one kernel: per voxel tile, project the voxel centers with every view's
-``(3, 4)`` matrix, nearest-gather the view's stride-4 feature map (resident in
-VMEM for the duration of the tile x view grid step), and accumulate the
-masked sum and view count — so the ``(V, P, C)`` intermediate the reference
-materialises never exists and HBM traffic is exactly one read of the feature
-maps + one write of the volume.
+one kernel: per (voxel-tile, channel-tile, view) grid step, project the tile's
+voxel centers with the view's ``(3, 4)`` matrix, nearest-gather the view's
+stride-4 feature map slice (resident in VMEM), and accumulate the masked sum
+and view count — the ``(V, P, C)`` intermediate the reference materialises
+never exists and HBM traffic is one read of the features per channel tile +
+one write of the volume.
 
-Grid: ``(num_voxel_tiles, V)`` with the view axis innermost — the output
-blocks are revisited across ``v`` (the standard accumulate-over-K pattern),
-and Pallas double-buffers the per-view feature DMA against compute.
+TPU-shape trick: Mosaic's dynamic-gather lowering requires the gather output
+to match the operand shape, so the voxel tile is exactly ``Hf * Wf`` rows —
+``take_along_axis`` over the ``(Hf*Wf, C_tile)`` feature block with a
+same-shape index array is then a supported in-register gather.
 
-The XLA scan implementation in ``ops/backproject.py`` stays the reference
-semantics (and the fallback); ``backproject_pallas`` is numerically identical.
+Grid: ``(p_tiles, c_tiles, V)`` with the view axis innermost (output blocks
+revisited across ``v`` — the standard accumulate-over-K pattern); the view
+count accumulates only on the first channel tile.
 """
 
 from __future__ import annotations
@@ -28,14 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(hw_ref, proj_ref, points_ref, feat_ref, acc_ref, cnt_ref):
-    v = pl.program_id(1)
+    c_idx = pl.program_id(1)
+    v = pl.program_id(2)
 
     @pl.when(v == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((v == 0) & (c_idx == 0))
+    def _():
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    # projection row-major (3, 4) scalars from SMEM
     p = [[proj_ref[0, r, c] for c in range(4)] for r in range(3)]
     x = points_ref[0:1, :]          # (1, T)
     y = points_ref[1:2, :]
@@ -50,32 +55,34 @@ def _kernel(hw_ref, proj_ref, points_ref, feat_ref, acc_ref, cnt_ref):
 
     hf = hw_ref[0]
     wf = hw_ref[1]
-    valid_h = hw_ref[2]
-    valid_w = hw_ref[3]
-    valid = ((xi >= 0) & (yi >= 0) & (xi < valid_w) & (yi < valid_h)
+    valid = ((xi >= 0) & (yi >= 0) & (xi < hw_ref[3]) & (yi < hw_ref[2])
              & (w > 0))                       # (1, T)
     flat = (jnp.clip(yi, 0, hf - 1) * wf
-            + jnp.clip(xi, 0, wf - 1))[0]     # (T,)
+            + jnp.clip(xi, 0, wf - 1))[0]     # (T,) with T == Hf*Wf
 
-    feat = feat_ref[0]                         # (HW, C) in VMEM
-    # Mosaic dynamic gather is elementwise: out[i, j] = feat[idx[i, j], j]
-    idx2d = jnp.broadcast_to(flat[:, None], (flat.shape[0], feat.shape[1]))
-    gathered = jnp.take_along_axis(feat, idx2d, axis=0)   # (T, C)
+    feat = feat_ref[0]                         # (T, C_tile) in VMEM
+    # same-shape gather: out[i, j] = feat[idx[i, j], j]
+    idx2d = jnp.broadcast_to(flat[:, None], feat.shape)
+    gathered = jnp.take_along_axis(feat, idx2d, axis=0)
     gathered = jnp.where(valid[0][:, None], gathered, 0.0)
 
-    acc_ref[:] += gathered
-    cnt_ref[:] += valid.astype(cnt_ref.dtype)  # (1, T)
+    acc_ref[:] += gathered.astype(acc_ref.dtype)
+
+    @pl.when(c_idx == 0)
+    def _():
+        cnt_ref[:] += valid.astype(cnt_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('tile',))
+@functools.partial(jax.jit, static_argnames=('c_tile',))
 def backproject_pallas(features, points, projections, valid_hw=None,
-                       tile: int = 1024):
+                       c_tile: int = 32):
     """Fused backprojection.  Same contract as ``backproject.backproject``.
 
     Args:
-      features: ``(V, Hf, Wf, C)`` float32.
-      points: ``(P, 3)`` voxel centers (P padded to a multiple of ``tile``
-        internally).
+      features: ``(V, Hf, Wf, C)`` float32; ``C`` divisible by ``c_tile`` (or
+        ``c_tile`` clamps to ``C``).
+      points: ``(P, 3)`` voxel centers (padded internally to a multiple of
+        ``Hf * Wf``).
       projections: ``(V, 3, 4)``.
       valid_hw: optional ``(2,)`` int32 valid feature extent.
 
@@ -84,6 +91,9 @@ def backproject_pallas(features, points, projections, valid_hw=None,
     """
     v, hf, wf, c = features.shape
     p = points.shape[0]
+    tile = hf * wf
+    c_tile = min(c_tile, c)
+    assert c % c_tile == 0, (c, c_tile)
     if valid_hw is None:
         valid_hw = jnp.array([hf, wf], jnp.int32)
     hw_params = jnp.concatenate(
@@ -91,37 +101,37 @@ def backproject_pallas(features, points, projections, valid_hw=None,
 
     p_pad = -(-p // tile) * tile
     pts = jnp.zeros((3, p_pad), jnp.float32).at[:, :p].set(points.T)
-    feats_flat = features.reshape(v, hf * wf, c)
+    feats_flat = features.reshape(v, tile, c)
 
-    grid = (p_pad // tile, v)
+    grid = (p_pad // tile, c // c_tile, v)
     acc, cnt = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # hw params
-            pl.BlockSpec((1, 3, 4), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, 3, 4), lambda i, j, k: (k, 0, 0),
                          memory_space=pltpu.SMEM),                  # projection
-            pl.BlockSpec((3, tile), lambda i, j: (0, i),
+            pl.BlockSpec((3, tile), lambda i, j, k: (0, i),
                          memory_space=pltpu.VMEM),                  # points
-            pl.BlockSpec((1, hf * wf, c), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, tile, c_tile), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),                  # features
         ],
         out_specs=[
-            pl.BlockSpec((tile, c), lambda i, j: (i, 0),
+            pl.BlockSpec((tile, c_tile), lambda i, j, k: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+            pl.BlockSpec((1, tile), lambda i, j, k: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((p_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad, c), features.dtype),
             jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(hw_params, projections, pts, feats_flat)
 
     cnt = cnt[0, :p]
-    acc = acc[:p]
+    acc = acc[:p].astype(jnp.float32)
     seen = cnt > 0
     volume = jnp.where(seen[:, None], acc / jnp.maximum(cnt[:, None], 1.0), 0.0)
-    return volume, seen
+    return volume.astype(features.dtype), seen
