@@ -18,6 +18,15 @@ from __future__ import annotations
 
 import numpy as np
 
+def _native():
+    """Optional C++ fast path (imvoxelnet_tpu/native); None -> numpy."""
+    try:
+        from .. import native
+        return native if native.load() is not None else None
+    except Exception:
+        return None
+
+
 CLASS_NAMES = ['car', 'pedestrian', 'cyclist']
 MIN_HEIGHT = [40, 25, 25]
 MAX_OCCLUSION = [0, 1, 2]
@@ -376,7 +385,22 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                 thresholds = get_thresholds(np.array(all_thresholds),
                                             total_num_valid_gt)
                 pr = np.zeros([len(thresholds), 4])
+                native = _native()
                 for i in range(len(gt_annos)):
+                    if native is not None:
+                        dc = prep[i][3]
+                        if metric == 0 and len(dc):
+                            dc_overlaps = image_box_overlap(
+                                dt_datas[i][:, :4], dc, 0)
+                        else:
+                            dc_overlaps = np.zeros((len(dt_datas[i]), 0))
+                        native.compute_statistics_thresholds(
+                            overlaps[i], dt_datas[i][:, -1],
+                            dt_datas[i][:, 4], gt_datas[i][:, 4],
+                            prep[i][1].astype(np.int64),
+                            prep[i][2].astype(np.int64), dc_overlaps,
+                            min_overlap, thresholds, int(compute_aos), pr)
+                        continue
                     for t, thr in enumerate(thresholds):
                         tp, fp, fn, sim, _ = compute_statistics(
                             overlaps[i], gt_datas[i], dt_datas[i], prep[i][1],
