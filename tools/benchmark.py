@@ -1,0 +1,90 @@
+"""Throughput benchmark CLI for any preset.
+
+Parity: ``tools/benchmark.py:63-91`` (warm-up skip, synchronized timing, FPS
+report) — plus a ``--trace`` option that captures a ``jax.profiler`` trace
+(the reference has no tracer; SURVEY.md §5 calls this out as a gap to fix).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('preset', nargs='?', default='imvoxelnet_kitti')
+    parser.add_argument('--batch-size', type=int, default=4)
+    parser.add_argument('--iters', type=int, default=10)
+    parser.add_argument('--warmup', type=int, default=2)
+    parser.add_argument('--dtype', default='bfloat16')
+    parser.add_argument('--train', action='store_true',
+                        help='benchmark the training step instead of forward')
+    parser.add_argument('--trace', default=None,
+                        help='directory for a jax.profiler trace')
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), '.jax_cache'))
+
+    from __graft_entry__ import _kitti_batch
+    from imvoxelnet_tpu.configs.presets import get_preset
+    from imvoxelnet_tpu.models.detector import ImVoxelNet, imvoxelnet_predict
+    from imvoxelnet_tpu.parallel import train as train_lib
+
+    preset = get_preset(args.preset)
+    cfg = dataclasses.replace(preset.model, compute_dtype=args.dtype)
+    model = ImVoxelNet(cfg)
+    w, h = preset.data.test_size
+    batch = _kitti_batch(args.batch_size, preset.data.n_images_test, h, w,
+                         train=args.train)
+
+    if args.train:
+        tx = train_lib.make_optimizer(1e-4, 1e-4, 0.1, 35.0, 100)
+        state = train_lib.create_train_state(model, tx, jax.random.PRNGKey(0),
+                                             batch)
+        step = jax.jit(train_lib.make_train_step(model, tx))
+
+        def run():
+            nonlocal state
+            state, metrics = step(state, batch)
+            return float(np.asarray(metrics['loss']))
+    else:
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+        @jax.jit
+        def forward(variables, batch):
+            outs = model.apply(variables, batch, train=False)
+            return imvoxelnet_predict(cfg, *outs, batch)
+
+        def run():
+            return float(np.asarray(forward(variables, batch)['scores']).sum())
+
+    for _ in range(args.warmup + 1):
+        run()
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        run()
+    dt = time.perf_counter() - t0
+    if args.trace:
+        jax.profiler.stop_trace()
+
+    sps = args.batch_size * args.iters / dt
+    print(json.dumps(dict(preset=args.preset, mode='train' if args.train
+                          else 'fwd', dtype=args.dtype,
+                          scenes_per_sec=round(sps, 2),
+                          ms_per_batch=round(dt / args.iters * 1e3, 2))))
+
+
+if __name__ == '__main__':
+    main()
