@@ -54,22 +54,13 @@ def project_points(points, projection):
     return x, y, uvw[:, 2]
 
 
-def backproject(features, points, projections, valid_hw=None):
-    """Backproject + multi-view mean-pool, fused.
+def backproject_sum_count(features, points, projections, valid_hw=None,
+                          axis_name=None):
+    """Masked feature sums + view counts (no mean) — the local body of both
+    the single-chip path and the view-sharded ``psum`` path.
 
-    Args:
-      features: ``(V, Hf, Wf, C)`` stride-4 2D feature maps (may be padded —
-        pass the actual valid extent via ``valid_hw``; masking replaces the
-        reference's ``feature[:, :, :h, :w]`` slice at ``imvoxelnet.py:69``).
-      points: ``(P, 3)`` voxel centers (flattened grid, x-major like the
-        reference's ``meshgrid`` ordering).
-      projections: ``(V, 3, 4)`` per-view ``K @ E[:3]``.
-      valid_hw: optional ``(2,)`` int array ``(h, w)`` of valid feature extent;
-        defaults to the full feature shape.
-
-    Returns:
-      volume: ``(P, C)`` mean-pooled features (zero where no view sees the voxel).
-      valid: ``(P,)`` bool, voxel seen by >= 1 view.
+    ``axis_name``: when running inside ``shard_map`` with the view axis
+    sharded, the scan carry must be marked varying over that axis.
     """
     v, hf, wf, c = features.shape
     if valid_hw is None:
@@ -89,10 +80,53 @@ def backproject(features, points, projections, valid_hw=None):
 
     init = (jnp.zeros((points.shape[0], c), features.dtype),
             jnp.zeros((points.shape[0],), features.dtype))
+    if axis_name is not None:
+        init = jax.lax.pcast(init, (axis_name,), to='varying')
     (acc, cnt), _ = jax.lax.scan(one_view, init, (flat_feats, projections))
+    return acc, cnt
+
+
+def mean_pool_from_sums(acc, cnt):
     seen = cnt > 0
     volume = jnp.where(seen[:, None], acc / jnp.maximum(cnt[:, None], 1.0), 0.0)
     return volume, seen
+
+
+def backproject_view_sharded(features, points, projections, valid_hw,
+                             axis_name: str):
+    """View-parallel backprojection: each mesh shard along ``axis_name``
+    backprojects its local views, then the (sum, count) pair is ``psum``-ed —
+    mathematically identical to the reference's multi-view mean
+    (``imvoxelnet.py:70-72``) and the sequence-parallel analog SURVEY.md §5
+    describes for the 50-view ScanNet test.  Call inside ``shard_map`` with
+    the view axis of ``features``/``projections`` sharded over ``axis_name``.
+    """
+    acc, cnt = backproject_sum_count(features, points, projections, valid_hw,
+                                     axis_name=axis_name)
+    acc = jax.lax.psum(acc, axis_name)
+    cnt = jax.lax.psum(cnt, axis_name)
+    return mean_pool_from_sums(acc, cnt)
+
+
+def backproject(features, points, projections, valid_hw=None):
+    """Backproject + multi-view mean-pool, fused.
+
+    Args:
+      features: ``(V, Hf, Wf, C)`` stride-4 2D feature maps (may be padded —
+        pass the actual valid extent via ``valid_hw``; masking replaces the
+        reference's ``feature[:, :, :h, :w]`` slice at ``imvoxelnet.py:69``).
+      points: ``(P, 3)`` voxel centers (flattened grid, x-major like the
+        reference's ``meshgrid`` ordering).
+      projections: ``(V, 3, 4)`` per-view ``K @ E[:3]``.
+      valid_hw: optional ``(2,)`` int array ``(h, w)`` of valid feature extent;
+        defaults to the full feature shape.
+
+    Returns:
+      volume: ``(P, C)`` mean-pooled features (zero where no view sees the voxel).
+      valid: ``(P,)`` bool, voxel seen by >= 1 view.
+    """
+    acc, cnt = backproject_sum_count(features, points, projections, valid_hw)
+    return mean_pool_from_sums(acc, cnt)
 
 
 @functools.partial(jax.jit, static_argnames=('n_voxels',))

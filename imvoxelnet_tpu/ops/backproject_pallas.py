@@ -42,9 +42,10 @@ def _kernel(hw_ref, proj_ref, points_ref, feat_ref, acc_ref, cnt_ref):
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
     p = [[proj_ref[0, r, c] for c in range(4)] for r in range(3)]
-    x = points_ref[0:1, :]          # (1, T)
-    y = points_ref[1:2, :]
-    z = points_ref[2:3, :]
+    # column orientation (T, 1) throughout — Mosaic cannot transpose masks
+    x = points_ref[:, 0:1]          # (T, 1)
+    y = points_ref[:, 1:2]
+    z = points_ref[:, 2:3]
     u = p[0][0] * x + p[0][1] * y + p[0][2] * z + p[0][3]
     vv = p[1][0] * x + p[1][1] * y + p[1][2] * z + p[1][3]
     w = p[2][0] * x + p[2][1] * y + p[2][2] * z + p[2][3]
@@ -56,15 +57,17 @@ def _kernel(hw_ref, proj_ref, points_ref, feat_ref, acc_ref, cnt_ref):
     hf = hw_ref[0]
     wf = hw_ref[1]
     valid = ((xi >= 0) & (yi >= 0) & (xi < hw_ref[3]) & (yi < hw_ref[2])
-             & (w > 0))                       # (1, T)
+             & (w > 0))                       # (T, 1)
     flat = (jnp.clip(yi, 0, hf - 1) * wf
-            + jnp.clip(xi, 0, wf - 1))[0]     # (T,) with T == Hf*Wf
+            + jnp.clip(xi, 0, wf - 1))        # (T, 1), T == Hf*Wf
 
-    feat = feat_ref[0]                         # (T, C_tile) in VMEM
-    # same-shape gather: out[i, j] = feat[idx[i, j], j]
-    idx2d = jnp.broadcast_to(flat[:, None], feat.shape)
+    # same-shape gather: out[i, j] = feat[idx[i, j], j].  Mosaic's
+    # tpu.dynamic_gather requires index/value bitwidths to match, so the bf16
+    # block is widened to f32 for the gather.
+    feat = feat_ref[0].astype(jnp.float32)     # (T, C_tile)
+    idx2d = jnp.broadcast_to(flat, feat.shape)
     gathered = jnp.take_along_axis(feat, idx2d, axis=0)
-    gathered = jnp.where(valid[0][:, None], gathered, 0.0)
+    gathered = jnp.where(valid, gathered, 0.0)
 
     acc_ref[:] += gathered.astype(acc_ref.dtype)
 
@@ -75,32 +78,43 @@ def _kernel(hw_ref, proj_ref, points_ref, feat_ref, acc_ref, cnt_ref):
 
 @functools.partial(jax.jit, static_argnames=('c_tile',))
 def backproject_pallas(features, points, projections, valid_hw=None,
-                       c_tile: int = 32):
+                       c_tile: int = None):
     """Fused backprojection.  Same contract as ``backproject.backproject``.
 
+    The feature path runs in bfloat16 inside the kernel (the production
+    compute dtype): Mosaic's VMEM budget (~16 MB) holds the double-buffered
+    ``(Hf*Wf, C)`` feature block plus the accumulator only at 2 bytes/elem.
+    The multi-view mean therefore carries bf16 precision — numerically
+    equivalent to running the whole conv path in bf16.
+
     Args:
-      features: ``(V, Hf, Wf, C)`` float32; ``C`` divisible by ``c_tile`` (or
-        ``c_tile`` clamps to ``C``).
+      features: ``(V, Hf, Wf, C)``; cast to bf16 internally.
       points: ``(P, 3)`` voxel centers (padded internally to a multiple of
         ``Hf * Wf``).
       projections: ``(V, 3, 4)``.
       valid_hw: optional ``(2,)`` int32 valid feature extent.
+      c_tile: channel block (must be 128-divisible or the full C); default
+        full C when C <= 128 else 128.
 
     Returns:
-      volume ``(P, C)``, seen ``(P,)`` bool.
+      volume ``(P, C)``, seen ``(P,)`` bool (volume in ``features.dtype``).
     """
     v, hf, wf, c = features.shape
     p = points.shape[0]
     tile = hf * wf
+    if c_tile is None:
+        c_tile = c if c <= 128 else 128
     c_tile = min(c_tile, c)
     assert c % c_tile == 0, (c, c_tile)
+    out_dtype = features.dtype
+    features = features.astype(jnp.bfloat16)
     if valid_hw is None:
         valid_hw = jnp.array([hf, wf], jnp.int32)
     hw_params = jnp.concatenate(
         [jnp.array([hf, wf], jnp.int32), jnp.asarray(valid_hw, jnp.int32)])
 
     p_pad = -(-p // tile) * tile
-    pts = jnp.zeros((3, p_pad), jnp.float32).at[:, :p].set(points.T)
+    pts = jnp.zeros((p_pad, 3), jnp.float32).at[:p].set(points)
     feats_flat = features.reshape(v, tile, c)
 
     grid = (p_pad // tile, c // c_tile, v)
@@ -111,7 +125,7 @@ def backproject_pallas(features, points, projections, valid_hw=None,
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # hw params
             pl.BlockSpec((1, 3, 4), lambda i, j, k: (k, 0, 0),
                          memory_space=pltpu.SMEM),                  # projection
-            pl.BlockSpec((3, tile), lambda i, j, k: (0, i),
+            pl.BlockSpec((tile, 3), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),                  # points
             pl.BlockSpec((1, tile, c_tile), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),                  # features
@@ -119,19 +133,19 @@ def backproject_pallas(features, points, projections, valid_hw=None,
         out_specs=[
             pl.BlockSpec((tile, c_tile), lambda i, j, k: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j, k: (0, i),
+            pl.BlockSpec((tile, 1), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((p_pad, c), features.dtype),
-            jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(hw_params, projections, pts, feats_flat)
 
-    cnt = cnt[0, :p]
+    cnt = cnt[:p, 0]
     acc = acc[:p].astype(jnp.float32)
     seen = cnt > 0
     volume = jnp.where(seen[:, None], acc / jnp.maximum(cnt[:, None], 1.0), 0.0)
-    return volume.astype(features.dtype), seen
+    return volume.astype(out_dtype), seen

@@ -36,10 +36,10 @@ def test_pallas_matches_xla_interpret(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         vol, seen = bpp.backproject_pallas(
             jnp.asarray(features), jnp.asarray(points),
-            jnp.asarray(projections), c_tile=4)
+            jnp.asarray(projections))
     np.testing.assert_array_equal(np.asarray(seen), np.asarray(ref_seen))
     np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
-                               atol=1e-5)
+                               atol=2e-2)
     assert np.asarray(seen).sum() > 0
 
 
@@ -54,6 +54,6 @@ def test_pallas_valid_hw_interpret():
     with pltpu.force_tpu_interpret_mode():
         vol, seen = bpp.backproject_pallas(
             jnp.asarray(features), jnp.asarray(points),
-            jnp.asarray(projections), valid_hw=jnp.asarray([8, 8]), c_tile=4)
+            jnp.asarray(projections), valid_hw=jnp.asarray([8, 8]))
     np.testing.assert_array_equal(np.asarray(seen), np.asarray(ref_seen))
-    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol), atol=2e-2)
