@@ -366,6 +366,51 @@ class NuScenesMultiViewDataset(BaseMultiViewDataset):
         return dict(gt_bboxes_3d=boxes[keep], gt_labels_3d=labels)
 
 
+class CBGSDataset:
+    """Class-balanced grouping-and-sampling wrapper
+    (``dataset_wrappers.py:44-79``): duplicates sample indices so every class
+    appears with roughly equal frequency over an epoch."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+        self.sample_indices = self._balanced_indices()
+
+    def _balanced_indices(self):
+        n_classes = len(self.dataset.classes)
+        class_to_samples = {i: [] for i in range(n_classes)}
+        for idx in range(len(self.dataset.data_infos)):
+            ann = self.dataset.get_ann_info(idx)
+            for label in np.unique(ann['gt_labels_3d']):
+                if 0 <= label < n_classes:
+                    class_to_samples[int(label)].append(idx)
+        duplicated = sum(len(v) for v in class_to_samples.values())
+        if duplicated == 0:
+            return list(range(len(self.dataset.data_infos)))
+        frac = 1.0 / n_classes
+        ratios = [frac / max(len(v) / duplicated, 1e-6)
+                  for v in class_to_samples.values()]
+        indices = []
+        rng = np.random.RandomState(0)
+        for (cls, samples), ratio in zip(class_to_samples.items(), ratios):
+            n_take = int(len(samples) * ratio)
+            if samples and n_take:
+                indices += rng.choice(samples, n_take).tolist()
+        return indices or list(range(len(self.dataset.data_infos)))
+
+    def __len__(self):
+        return len(self.sample_indices)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def get_sample(self, index, train, rng):
+        return self.dataset.get_sample(
+            self.sample_indices[index % len(self.sample_indices)], train, rng)
+
+    def collate(self, samples):
+        return self.dataset.collate(samples)
+
+
 DATASETS = {
     'kitti': KittiMultiViewDataset,
     'sunrgbd': SunRgbdMultiViewDataset,
