@@ -9,14 +9,22 @@ and view count — the ``(V, P, C)`` intermediate the reference materialises
 never exists and HBM traffic is one read of the features per channel tile +
 one write of the volume.
 
-TPU-shape trick: Mosaic's dynamic-gather lowering requires the gather output
-to match the operand shape, so the voxel tile is exactly ``Hf * Wf`` rows —
-``take_along_axis`` over the ``(Hf*Wf, C_tile)`` feature block with a
-same-shape index array is then a supported in-register gather.
-
 Grid: ``(p_tiles, c_tiles, V)`` with the view axis innermost (output blocks
 revisited across ``v`` — the standard accumulate-over-K pattern); the view
 count accumulates only on the first channel tile.
+
+STATUS — Mosaic gather limitation (as of jax 0.9 / libtpu 0.0.34): the
+kernel is exact in interpret mode (tested against the XLA reference), but the
+compiled path hits ``Not implemented: Multiple source vregs along gather
+dimension`` — Mosaic's ``tpu.dynamic_gather`` is a single-vreg (8x128)
+shuffle, so a table gather across a ``(Hf*Wf, C)`` feature block cannot be
+expressed in Pallas today (we already satisfy its other constraints:
+same-shape output via ``tile == Hf*Wf``, matching 32-bit index/value widths,
+no mask transposes via the column orientation).  XLA's native gather *is* the
+TPU-native implementation of this access pattern, so the production path is
+``ops/backproject.py`` (a scan over views whose elementwise ops XLA fuses
+around its gather); this kernel is kept as the fused formulation that becomes
+compilable when Mosaic gains multi-vreg gathers.
 """
 
 from __future__ import annotations
