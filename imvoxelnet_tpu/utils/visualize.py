@@ -46,6 +46,28 @@ def draw_boxes(image, boxes, projection, color=(0, 255, 0), thickness=2):
     return img
 
 
+def export_boxes_obj(boxes, path):
+    """Export ``(N, 7)`` bottom-center boxes as a wireframe .obj for MeshLab.
+
+    Parity: the MeshLab-oriented dump of ``core/visualizer/show_result.py``
+    (oriented boxes as line sets).
+    """
+    import jax.numpy as jnp
+
+    corners = np.asarray(box_ops.corners(jnp.asarray(boxes, jnp.float32)))
+    lines = []
+    for b, cs in enumerate(corners):
+        for x, y, z in cs:
+            lines.append(f'v {x:.5f} {y:.5f} {z:.5f}')
+    for b in range(len(corners)):
+        off = b * 8 + 1
+        for a, c in _EDGES:
+            lines.append(f'l {off + a} {off + c}')
+    with open(path, 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    return path
+
+
 def show_multi_view_result(dataset, index, boxes, out_dir, scale_factor=1.0):
     """Render predictions into every view of a sample and save PNGs."""
     import cv2
