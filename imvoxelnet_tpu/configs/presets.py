@@ -141,7 +141,7 @@ def build_presets():
                         train_size=(1408, 416), test_size=(1280, 384),
                         max_gt=16))
 
-    # --- nuScenes 6-camera car (imvoxelnet_nuscenes.py; DCN stages deferred)
+    # --- nuScenes 6-camera car (imvoxelnet_nuscenes.py; DCNv2 stages 3-4)
     nus_head = Anchor3DHeadConfig(
         num_classes=1, feat_channels=256,
         anchor_ranges=((-49.92, -49.92, -1.0, 49.92 - .64, 49.92 - .64, -1.0),),
@@ -156,7 +156,8 @@ def build_presets():
             n_voxels=(312, 312, 12), voxel_size=(.32, .32, .32),
             fpn_out_channels=64,
             neck=NeckConfig(kind='nuscenes', in_channels=64, out_channels=256),
-            head_kind='anchor3d', anchor_head=nus_head),
+            head_kind='anchor3d', anchor_head=nus_head,
+            stage_with_dcn=(False, False, True, True)),
         data=DataConfig(dataset='nuscenes', classes=NUSCENES_CLASSES,
                         n_images_train=6, n_images_test=6,
                         samples_per_device=1, repeat_times=1,

@@ -62,6 +62,7 @@ class ImVoxelNetConfig:
     axis_name: Optional[str] = None
     stride: int = 4                 # asserted == 4 in the reference
     compute_dtype: str = 'float32'  # conv-path dtype; 'bfloat16' on TPU
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
 
 
 def build_neck(cfg: NeckConfig, axis_name, dtype):
@@ -98,7 +99,8 @@ class ImVoxelNet(nn.Module):
         b, v, h, w, _ = images.shape
         flat = images.reshape(b * v, h, w, 3)
 
-        feats = resnet_lib.resnet50(dtype).copy(name='backbone')(flat)
+        feats = resnet_lib.resnet50(
+            dtype, cfg.stage_with_dcn).copy(name='backbone')(flat)
 
         features_2d = None
         if cfg.layout_head is not None:

@@ -48,6 +48,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dtype: Any = jnp.float32
+    with_dcn: bool = False   # DCNv2 on conv2 (nuScenes stages 3-4)
 
     @nn.compact
     def __call__(self, x):
@@ -56,9 +57,15 @@ class Bottleneck(nn.Module):
                       name='conv1')(x)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False,
-                      dtype=self.dtype, name='conv2')(out)
+        if self.with_dcn:
+            from .dcn import DeformConv2d
+            out = DeformConv2d(self.planes, stride=self.stride,
+                               dtype=self.dtype, name='conv2')(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3),
+                          strides=(self.stride, self.stride),
+                          padding=((1, 1), (1, 1)), use_bias=False,
+                          dtype=self.dtype, name='conv2')(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
@@ -83,6 +90,7 @@ class ResNet(nn.Module):
     stage_blocks: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     base_planes: int = 64
     dtype: Any = jnp.float32
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x):
@@ -104,11 +112,13 @@ class ResNet(nn.Module):
                     stride=stride if block == 0 else 1,
                     downsample=(block == 0),
                     dtype=self.dtype,
+                    with_dcn=self.stage_with_dcn[stage],
                     name=f'layer{stage + 1}_{block}')(x)
             outs.append(x)
             planes *= 2
         return outs
 
 
-def resnet50(dtype=jnp.float32):
-    return ResNet(stage_blocks=(3, 4, 6, 3), dtype=dtype)
+def resnet50(dtype=jnp.float32, stage_with_dcn=(False, False, False, False)):
+    return ResNet(stage_blocks=(3, 4, 6, 3), dtype=dtype,
+                  stage_with_dcn=tuple(stage_with_dcn))

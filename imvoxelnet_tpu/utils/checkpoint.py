@@ -72,8 +72,12 @@ def bn_split(sd, prefix):
 _STAGE_BLOCKS = (3, 4, 6, 3)
 
 
-def convert_resnet50(sd, prefix=''):
-    """``{prefix}conv1.weight`` etc. -> flax 'backbone' params subtree."""
+def convert_resnet50(sd, prefix='', stage_with_dcn=(False,) * 4):
+    """``{prefix}conv1.weight`` etc. -> flax 'backbone' params subtree.
+
+    ``stage_with_dcn``: stages whose conv2 is mmcv DCNv2 (weight +
+    ``conv2.conv_offset``) — the nuScenes backbone.
+    """
     p = prefix
     out = {
         'conv1': {'kernel': conv2d(sd[f'{p}conv1.weight'])},
@@ -84,7 +88,18 @@ def convert_resnet50(sd, prefix=''):
             tb = f'{p}layer{stage}.{b}'
             blk = {}
             for i in (1, 2, 3):
-                blk[f'conv{i}'] = {'kernel': conv2d(sd[f'{tb}.conv{i}.weight'])}
+                if i == 2 and stage_with_dcn[stage - 1]:
+                    blk['conv2'] = {
+                        'kernel': conv2d(sd[f'{tb}.conv2.weight']),
+                        'conv_offset': {
+                            'kernel': conv2d(
+                                sd[f'{tb}.conv2.conv_offset.weight']),
+                            'bias': _t(sd[f'{tb}.conv2.conv_offset.bias']),
+                        },
+                    }
+                else:
+                    blk[f'conv{i}'] = {
+                        'kernel': conv2d(sd[f'{tb}.conv{i}.weight'])}
                 blk[f'bn{i}'] = frozen_bn(sd, f'{tb}.bn{i}')
             if f'{tb}.downsample.0.weight' in sd:
                 blk['downsample_conv'] = {
@@ -299,7 +314,8 @@ def convert_reference_checkpoint(state_dict, model_cfg):
     ``model_cfg`` is an ``ImVoxelNetConfig`` (drives neck/head layout).
     """
     sd = {k: v for k, v in state_dict.items()}
-    params = {'backbone': convert_resnet50(sd, 'backbone.'),
+    params = {'backbone': convert_resnet50(
+        sd, 'backbone.', getattr(model_cfg, 'stage_with_dcn', (False,) * 4)),
               'neck': convert_fpn(sd)}
     stats = {}
 
