@@ -22,7 +22,13 @@ _NEG = -1e10
 
 
 def greedy_nms_from_iou(iou_matrix, scores, valid, iou_thr: float):
-    """Greedy NMS given a precomputed pairwise IoU matrix.
+    """Greedy NMS given a precomputed pairwise IoU matrix — exact, parallel.
+
+    Instead of the N-step sequential loop (the CUDA kernel's structure), this
+    iterates the fixpoint ``keep[j] = valid[j] & no kept higher-ranked i
+    dominates j`` — whose unique fixpoint *is* the greedy solution — with a
+    ``while_loop`` that converges in the depth of the longest suppression
+    chain (typically 2-4 matrix steps instead of N scalar steps).
 
     Args:
       iou_matrix: ``(N, N)`` pairwise IoU.
@@ -39,18 +45,21 @@ def greedy_nms_from_iou(iou_matrix, scores, valid, iou_thr: float):
     iou_sorted = iou_matrix[order][:, order]
     valid_sorted = valid[order]
 
-    def body(i, state):
-        keep, suppressed = state
-        is_kept = valid_sorted[i] & ~suppressed[i]
-        keep = keep.at[i].set(is_kept)
-        row = iou_sorted[i] > iou_thr
-        idx = jnp.arange(n)
-        suppressed = suppressed | (is_kept & row & (idx > i))
-        return keep, suppressed
+    idx = jnp.arange(n)
+    # dominates[i, j]: a kept i would suppress j (higher rank, IoU above thr)
+    dominates = (iou_sorted > iou_thr) & (idx[:, None] < idx[None, :])
 
-    keep_sorted, _ = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros(n, bool), jnp.zeros(n, bool)))
-    # scatter back to original order
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < n)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(keep[:, None] & dominates, axis=0)
+        return valid_sorted & ~suppressed, keep, it + 1
+
+    init = (valid_sorted, ~valid_sorted, jnp.zeros((), jnp.int32))
+    keep_sorted, _, _ = jax.lax.while_loop(cond, body, init)
     keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
     return keep
 

@@ -79,3 +79,15 @@ def test_multiclass_nms_3d_basic():
     np.testing.assert_allclose(kept_scores, [0.9, 0.7], atol=1e-6)
     labels = np.asarray(out['labels'])[valid]
     assert set(labels.tolist()) == {0, 1}
+
+
+def test_fixpoint_nms_suppression_chains():
+    """The parallel fixpoint must reproduce greedy on suppression chains."""
+    n = 10
+    iou = np.zeros((n, n))
+    for i in range(n - 1):
+        iou[i, i + 1] = iou[i + 1, i] = 0.9
+    scores = jnp.asarray(np.linspace(1, 0.1, n))
+    keep = np.asarray(nms_ops.greedy_nms_from_iou(
+        jnp.asarray(iou), scores, jnp.ones(n, bool), 0.5))
+    np.testing.assert_array_equal(keep, [i % 2 == 0 for i in range(n)])
