@@ -33,10 +33,15 @@ def main():
     parser.add_argument('--resume-from', default=None)
     parser.add_argument('--num-workers', type=int, default=8)
     parser.add_argument('--log-interval', type=int, default=50)
+    parser.add_argument('--multihost', action='store_true',
+                        help='call jax.distributed.initialize() (TPU pods)')
     args = parser.parse_args()
 
     import jax
     import numpy as np
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from imvoxelnet_tpu.configs.presets import get_preset
     from imvoxelnet_tpu.data.datasets import DATASETS
@@ -108,6 +113,12 @@ def main():
                       in_shardings=(rep, dp), out_shardings=(rep, rep))
 
     log_path = os.path.join(args.work_dir, 'train_log.jsonl')
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb_writer = SummaryWriter(os.path.join(args.work_dir, 'tb'))
+    except Exception:
+        pass
     for epoch in range(start_epoch, epochs):
         t_data = t_step = 0.0
         t0 = time.perf_counter()
@@ -128,6 +139,9 @@ def main():
                 print(json.dumps(line), flush=True)
                 with open(log_path, 'a') as f:
                     f.write(json.dumps(line) + '\n')
+                if tb_writer is not None:
+                    for k, v in metrics.items():
+                        tb_writer.add_scalar(f'train/{k}', v, int(state.step))
                 t_data = t_step = 0.0
             else:
                 t_step += time.perf_counter() - t1
