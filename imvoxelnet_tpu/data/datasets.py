@@ -61,6 +61,9 @@ class BaseMultiViewDataset:
         return i % len(self.data_infos)
 
     # -- per-dataset hooks -------------------------------------------------
+    def load_view_image(self, path):
+        return pl.load_image(path)
+
     def get_data_info(self, index):
         raise NotImplementedError
 
@@ -81,8 +84,8 @@ class BaseMultiViewDataset:
                          replace=self.n_images > n_avail)
         imgs, infos = [], []
         for i in ids.tolist():
-            img = pl.load_image(os.path.join(self.data_root,
-                                             data['img_paths'][i]))
+            img = self.load_view_image(
+                os.path.join(self.data_root, data['img_paths'][i]))
             img, info = pl.process_image(img, self.img_cfg, train, rng)
             imgs.append(img)
             infos.append(info)
@@ -251,7 +254,21 @@ class SunRgbdPerspectiveMultiViewDataset(SunRgbdMultiViewDataset):
 
 class SunRgbdTotalMultiViewDataset(SunRgbdMultiViewDataset):
     """Total3DUnderstanding: + camera angles and room layout
-    (``sunrgbd_monocular_dataset.py:103-151``)."""
+    (``sunrgbd_monocular_dataset.py:103-151``).
+
+    The Total3D json ships flipped duplicates as ``*_flip.jpg`` entries with
+    pre-flipped geometry; the loader strips the suffix and mirrors the pixels
+    (``SunRgbdTotalLoadImageFromFile``, ``pipelines/multi_view.py:96-105``).
+    The in-pipeline RandomFlip is therefore disabled for this dataset.
+    """
+
+    flip_geometry = False
+
+    def load_view_image(self, path):
+        if path.endswith('_flip.jpg'):
+            img = pl.load_image(path.replace('_flip.jpg', '.jpg'))
+            return img[:, ::-1].copy()
+        return pl.load_image(path)
 
     def get_sample(self, index, train, rng):
         sample = super().get_sample(index, train, rng)
