@@ -197,6 +197,32 @@ class KittiMultiViewDataset(BaseMultiViewDataset):
         sample['origin'] = pl.kitti_set_origin(self.POINT_CLOUD_RANGE)
 
 
+class KittiStereoDataset(KittiMultiViewDataset):
+    """Two-view KITTI (``kitti_monocular_dataset.py:40-77``; shipped but
+    unused by any config — kept for surface parity)."""
+
+    def get_data_info(self, index):
+        info = self.data_infos[index]
+        rect = info['calib']['R0_rect'].astype(np.float32)
+        trv2c = info['calib']['Tr_velo_to_cam'].astype(np.float32)
+        p2 = info['calib']['P2'].astype(np.float32)
+        p3 = info['calib']['P3'].astype(np.float32)
+        base = rect @ trv2c
+        extrinsics = []
+        for p in (p2, p3):
+            e = base.copy()
+            e[:3, 3] += np.linalg.inv(p[:3, :3]) @ p[:3, 3]
+            extrinsics.append(e)
+        intrinsic = p2.copy()
+        intrinsic[:3, 3] = 0
+        img2 = info['image']['image_path']
+        return dict(
+            img_paths=[img2, img2.replace('image_2', 'image_3')],
+            intrinsic=intrinsic,
+            extrinsics=extrinsics,
+        )
+
+
 class SunRgbdMultiViewDataset(BaseMultiViewDataset):
     """SUN RGB-D monocular (``sunrgbd_monocular_dataset.py:12-80``)."""
 
@@ -430,6 +456,7 @@ class CBGSDataset:
 
 DATASETS = {
     'kitti': KittiMultiViewDataset,
+    'kitti_stereo': KittiStereoDataset,
     'sunrgbd': SunRgbdMultiViewDataset,
     'sunrgbd_perspective': SunRgbdPerspectiveMultiViewDataset,
     'sunrgbd_total': SunRgbdTotalMultiViewDataset,

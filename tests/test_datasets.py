@@ -177,3 +177,22 @@ def test_scannet_dataset_multiview(scannet_root):
     s_train = d.get_sample(0, train=True, rng=rng)
     assert not np.allclose(s_train['origin'], [0, 0, 0.5])
     assert np.allclose(s_train['origin'][2], 0.5)
+
+
+def test_kitti_stereo_dataset(kitti_root):
+    import shutil
+    # synthesize the image_3 twin
+    src = os.path.join(kitti_root, 'training/image_2/000000.png')
+    dst = os.path.join(kitti_root, 'training/image_3/000000.png')
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copy(src, dst)
+    img_cfg = pl.ImagePipelineConfig(test_scale=(1280, 384),
+                                     pad_size=(384, 1280))
+    d = ds.KittiStereoDataset(
+        kitti_root, os.path.join(kitti_root, 'kitti_infos_train.pkl'),
+        ('Pedestrian',), img_cfg, n_images=2, max_gt=8)
+    s = d.get_sample(0, train=False, rng=np.random.RandomState(0))
+    assert s['images'].shape[0] == 2
+    assert s['extrinsics'].shape == (2, 4, 4)
+    # P2/P3 translations differ -> the two extrinsics differ
+    assert not np.allclose(s['extrinsics'][0], s['extrinsics'][1])
