@@ -81,6 +81,41 @@ def axis_aligned_iou_loss(pred_corner, target_corner, weight=None, *,
     return loss_weight * _reduce(1.0 - ious, weight, avg_factor)
 
 
+def giou_3d_loss(pred_gc, target_gc, weight=None, *, avg_factor=1.0,
+                 loss_weight: float = 1.0):
+    """Rotated 3D GIoU loss on gravity-center 7-DoF boxes.
+
+    Parity: ``GIoU3DLoss`` (``mmdet3d/ops/rotated_iou/iou3d_loss.py:36-59`` /
+    ``cal_giou_3d`` ``oriented_iou_loss.py:112-130``), using the axis-aligned
+    enclosing box (``enclosing_box_aligned`` :166-195; registered but unused
+    by any shipped config — the shipped heads use ``IoU3DLoss``).
+    """
+    from . import boxes as box_ops
+
+    ious = iou_ops.iou_3d_aligned(pred_gc, target_gc)
+    vol1 = pred_gc[..., 3] * pred_gc[..., 4] * pred_gc[..., 5]
+    vol2 = target_gc[..., 3] * target_gc[..., 4] * target_gc[..., 5]
+    # union from iou: U = (v1 + v2) / (1 + iou) ... recompute directly instead
+    inter = ious * (vol1 + vol2) / (1.0 + ious)
+    union = vol1 + vol2 - inter
+
+    def bev(b):
+        return jnp.concatenate([b[..., 0:2], b[..., 3:5], b[..., 6:7]], -1)
+
+    c1 = box_ops.bev_corners(bev(pred_gc))
+    c2 = box_ops.bev_corners(bev(target_gc))
+    xy_min = jnp.minimum(c1.min(-2), c2.min(-2))
+    xy_max = jnp.maximum(c1.max(-2), c2.max(-2))
+    z_max = jnp.maximum(pred_gc[..., 2] + pred_gc[..., 5] / 2,
+                        target_gc[..., 2] + target_gc[..., 5] / 2)
+    z_min = jnp.minimum(pred_gc[..., 2] - pred_gc[..., 5] / 2,
+                        target_gc[..., 2] - target_gc[..., 5] / 2)
+    wh = xy_max - xy_min
+    v_c = jnp.maximum(wh[..., 0] * wh[..., 1] * (z_max - z_min), 1e-8)
+    giou_loss = 1.0 - ious + (v_c - union) / v_c
+    return loss_weight * _reduce(giou_loss, weight, avg_factor)
+
+
 def iou_3d_loss(pred_gc, target_gc, weight=None, *, avg_factor=1.0,
                 loss_weight: float = 1.0):
     """Differentiable rotated 3D IoU loss on gravity-center 7-DoF boxes.

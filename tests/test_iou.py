@@ -113,3 +113,16 @@ def test_nearest_3d_overlaps_shape_and_range():
     out = np.asarray(iou_ops.bbox_overlaps_nearest_3d(b1, b2))
     assert out.shape == (5, 4)
     assert np.all(out >= 0) and np.all(out <= 1)
+
+
+def test_giou_3d_loss_basics():
+    from imvoxelnet_tpu.ops.losses import giou_3d_loss
+    b1 = jnp.asarray([1., 2., 3., 2., 3., 4., 0.5])
+    np.testing.assert_allclose(
+        float(giou_3d_loss(b1, b1, avg_factor=1.0)), 0.0, atol=1e-5)
+    b3 = jnp.asarray([10., 2., 3., 2., 3., 4., 0.1])
+    loss = float(giou_3d_loss(b1, b3, avg_factor=1.0))
+    assert loss > 1.0  # disjoint boxes: GIoU penalty beyond 1 - IoU
+    g = jax.grad(lambda x: giou_3d_loss(x, b3, avg_factor=1.0))(b1)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).sum() > 0
