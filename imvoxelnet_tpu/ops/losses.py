@@ -81,21 +81,46 @@ def axis_aligned_iou_loss(pred_corner, target_corner, weight=None, *,
     return loss_weight * _reduce(1.0 - ious, weight, avg_factor)
 
 
+def _smallest_enclosing_area(corners):
+    """Min-area enclosing rectangle of ``(..., 8, 2)`` corner sets.
+
+    Parity: ``smallest_bounding_box``
+    (``mmdet3d/ops/rotated_iou/min_enclosing_box.py:142-172``): every corner
+    pair is a candidate edge direction; width = projection extent along the
+    direction, height = extent along the perpendicular; take the min area.
+    Differentiable (min over smooth candidates).
+    """
+    n = corners.shape[-2]
+    ii, jj = jnp.triu_indices(n, k=1)
+    d = corners[..., jj, :] - corners[..., ii, :]           # (..., P, 2)
+    length = jnp.linalg.norm(d, axis=-1)
+    safe = jnp.maximum(length, 1e-8)
+    u = d / safe[..., None]                                  # unit directions
+    v = jnp.stack([-u[..., 1], u[..., 0]], axis=-1)          # perpendicular
+    proj_u = jnp.einsum('...kd,...pd->...pk', corners, u)    # (..., P, 8)
+    proj_v = jnp.einsum('...kd,...pd->...pk', corners, v)
+    w = proj_u.max(-1) - proj_u.min(-1)                      # (..., P)
+    h = proj_v.max(-1) - proj_v.min(-1)
+    area = w * h
+    area = jnp.where(length > 1e-6, area, 1e8)
+    return area.min(-1)
+
+
 def giou_3d_loss(pred_gc, target_gc, weight=None, *, avg_factor=1.0,
                  loss_weight: float = 1.0):
     """Rotated 3D GIoU loss on gravity-center 7-DoF boxes.
 
     Parity: ``GIoU3DLoss`` (``mmdet3d/ops/rotated_iou/iou3d_loss.py:36-59`` /
-    ``cal_giou_3d`` ``oriented_iou_loss.py:112-130``), using the axis-aligned
-    enclosing box (``enclosing_box_aligned`` :166-195; registered but unused
-    by any shipped config — the shipped heads use ``IoU3DLoss``).
+    ``cal_giou_3d`` ``oriented_iou_loss.py:112-130``) with the default
+    'smallest' enclosing box.  Registered but unused by the shipped configs
+    (the shipped heads use ``IoU3DLoss``).
     """
     from . import boxes as box_ops
 
     ious = iou_ops.iou_3d_aligned(pred_gc, target_gc)
     vol1 = pred_gc[..., 3] * pred_gc[..., 4] * pred_gc[..., 5]
     vol2 = target_gc[..., 3] * target_gc[..., 4] * target_gc[..., 5]
-    # union from iou: U = (v1 + v2) / (1 + iou) ... recompute directly instead
+    # recover the union from iou: inter = iou * union, union = v1 + v2 - inter
     inter = ious * (vol1 + vol2) / (1.0 + ious)
     union = vol1 + vol2 - inter
 
@@ -104,14 +129,12 @@ def giou_3d_loss(pred_gc, target_gc, weight=None, *, avg_factor=1.0,
 
     c1 = box_ops.bev_corners(bev(pred_gc))
     c2 = box_ops.bev_corners(bev(target_gc))
-    xy_min = jnp.minimum(c1.min(-2), c2.min(-2))
-    xy_max = jnp.maximum(c1.max(-2), c2.max(-2))
+    area_c = _smallest_enclosing_area(jnp.concatenate([c1, c2], axis=-2))
     z_max = jnp.maximum(pred_gc[..., 2] + pred_gc[..., 5] / 2,
                         target_gc[..., 2] + target_gc[..., 5] / 2)
     z_min = jnp.minimum(pred_gc[..., 2] - pred_gc[..., 5] / 2,
                         target_gc[..., 2] - target_gc[..., 5] / 2)
-    wh = xy_max - xy_min
-    v_c = jnp.maximum(wh[..., 0] * wh[..., 1] * (z_max - z_min), 1e-8)
+    v_c = jnp.maximum(area_c * (z_max - z_min), 1e-8)
     giou_loss = 1.0 - ious + (v_c - union) / v_c
     return loss_weight * _reduce(giou_loss, weight, avg_factor)
 
