@@ -80,3 +80,25 @@ def test_points_cam2img():
     pts = jnp.array([[1.0, 2.0, 10.0]])
     uv = np.asarray(box_ops.points_cam2img(pts, proj))[0]
     np.testing.assert_allclose(uv, [100 * 1 / 10 + 50, 100 * 2 / 10 + 40], atol=1e-5)
+
+
+def test_rotation_matches_reference_golden():
+    """Golden point rotation from the reference's test_box3d.py (LiDAR
+    rotate by 0.13603681...): our row-vector convention must reproduce it."""
+    pts = jnp.asarray([[-1.0280, 0.9888, -1.4658],
+                       [-4.3695, 2.1310, -1.3857],
+                       [-6.5263, 1.5595, -0.9697],
+                       [-0.4809, 0.7073, -0.5265],
+                       [-4.5623, 0.7166, -1.4741]])[None]
+    angle = jnp.asarray([0.13603681398218053])
+    out = np.asarray(box_ops.rotation_3d_in_axis(pts, angle, axis=2))[0]
+    expected = np.array([[-0.8844, 1.1191, -1.4658],
+                         [-4.0401, 2.7039, -1.3857],
+                         [-6.2545, 2.4302, -0.9697],
+                         [-0.3805, 0.7660, -0.5265],
+                         [-4.4230, 1.3287, -1.4741]])
+    np.testing.assert_allclose(out, expected, atol=1e-3)
+    # and the rotation matrix itself
+    m = np.asarray(box_ops.rotation_matrix_2d(angle))[0]
+    np.testing.assert_allclose(m, [[0.9908, -0.1356], [0.1356, 0.9908]],
+                               atol=1e-3)
