@@ -52,6 +52,10 @@ class DataConfig:
     repeat_times: int = 3
     train_size: Tuple[int, int] = (1280, 384)   # padded (W, H)
     test_size: Tuple[int, int] = (1280, 384)
+    # multiscale 'range' train resize ((long0, short0), (long1, short1));
+    # None -> keep-ratio resize to test_size
+    train_scales: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    flip_ratio: float = 0.0
     max_gt: int = 32                   # padded GT boxes per sample
     box_origin: str = 'bottom'
 
@@ -103,6 +107,8 @@ def _sunrgbd_family(prefix, classes, layout=False):
     presets = {}
     common = dict(dataset='sunrgbd', classes=classes, samples_per_device=4,
                   repeat_times=2, train_size=(768, 576), test_size=(640, 480),
+                  train_scales=((512, 384), (768, 576)),
+                  flip_ratio=0.0 if layout else 0.5,
                   max_gt=64)
     for suffix, fast, topk, nvox, vsize in (
             ('', False, -1, (80, 80, 32), (.08, .08, .08)),
@@ -139,6 +145,8 @@ def build_presets():
         data=DataConfig(dataset='kitti', classes=KITTI_CLASSES,
                         samples_per_device=4, repeat_times=3,
                         train_size=(1408, 416), test_size=(1280, 384),
+                        train_scales=((1173, 352), (1387, 416)),
+                        flip_ratio=0.5,
                         max_gt=16))
 
     # --- nuScenes 6-camera car (imvoxelnet_nuscenes.py; DCNv2 stages 3-4)
@@ -188,6 +196,23 @@ def build_presets():
             model=_indoor_model(len(SCANNET_CLASSES), fast, topk, nvox, vsize,
                                 'scannet', score_thr=0.0),
             data=DataConfig(**scan_common))
+    # --- tiny smoke-test preset (not one of the 14 reference configs):
+    # real structure at toy sizes, for CLI/integration tests on CPU
+    tiny_head = Anchor3DHeadConfig(
+        num_classes=1,
+        anchor_ranges=((0, -12.8, -1.78, 25.6, 12.8, -1.78),),
+        nms_pre=64, max_out=8)
+    presets['tiny_kitti_test'] = Preset(
+        name='tiny_kitti_test',
+        model=ImVoxelNetConfig(
+            n_voxels=(32, 40, 12), voxel_size=(.8, .64, .32),
+            fpn_out_channels=16,
+            neck=NeckConfig(kind='kitti', in_channels=16, out_channels=32),
+            head_kind='anchor3d', anchor_head=tiny_head),
+        data=DataConfig(dataset='kitti', classes=('Pedestrian', 'Car'),
+                        samples_per_device=2, repeat_times=2,
+                        train_size=(320, 96), test_size=(320, 96),
+                        max_gt=8))
     return presets
 
 

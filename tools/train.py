@@ -64,13 +64,9 @@ def main():
         test_scale=d.test_size,
         pad_size=(d.test_size[1], d.test_size[0]),
         train_pad_size=(d.train_size[1], d.train_size[0]),
-        # Total3D ships pre-flipped duplicates instead of in-pipeline flips
-        flip_ratio=(0.5 if d.dataset in ('kitti', 'sunrgbd')
-                    and preset.model.layout_head is None else 0.0),
+        flip_ratio=d.flip_ratio,
         fixed_size_resize=(d.dataset == 'scannet'),
-        train_scales=(((1173, 352), (1387, 416)) if d.dataset == 'kitti' else
-                      ((512, 384), (768, 576)) if d.dataset == 'sunrgbd'
-                      else None),
+        train_scales=d.train_scales,
     )
     ds_key = d.dataset
     if preset.model.layout_head is not None:
