@@ -477,8 +477,7 @@ def indoor_head_get_bboxes(head_outs, valid, origins, cfg: IndoorHeadConfig):
             return (center_size, jnp.maximum(top_s, 0.0), lab[idx],
                     top_s > 0)
 
-    boxes, scores, labels, valid_out = jax.lax.map(
-        per_sample,
+    boxes, scores, labels, valid_out = jax.vmap(per_sample)(
         ([c for c in centernesses], [b for b in bbox_preds],
          [c for c in cls_scores], valids, origins))
     return dict(boxes=boxes, scores=scores, labels=labels, valid=valid_out)
