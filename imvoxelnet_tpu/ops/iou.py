@@ -4,9 +4,10 @@ TPU-native replacements for the reference's native kernels:
   - ``boxes_iou_bev_gpu`` / ``boxes_overlap_bev_gpu``
     (``mmdet3d/ops/iou3d/src/iou3d_kernel.cu:253-345``) -> vectorised rotated
     rect intersection via exact convex-polygon vertex enumeration
-    (same math as ``mmdet3d/ops/rotated_iou/box_intersection_2d.py:11-166``,
-    with the CUDA ``sort_v`` kernel replaced by a mask-aware angle argsort —
-    differentiable, no custom kernel needed).
+    (exact rect-rect clipping; the CUDA ``sort_v`` vertex sort of
+    ``mmdet3d/ops/rotated_iou/box_intersection_2d.py:11-166`` is replaced by
+    a vectorised sort-free Sutherland-Hodgman clip — differentiable, no
+    custom kernel needed).
   - ``bbox_overlaps`` (mmdet, axis-aligned 2D) and
     ``axis_aligned_bbox_overlaps_3d``
     (``mmdet3d/core/bbox/iou_calculators/iou3d_calculator.py:171-250``).
@@ -138,13 +139,20 @@ def _points_in_rect(points, rect_corners):
     return jnp.all(cross >= -1e-9, axis=-1) | jnp.all(cross <= 1e-9, axis=-1)
 
 
+_SLOTS = 8  # rect ∩ rect has at most 8 vertices
+
+
 def rect_intersection_area(corners1, corners2):
     """Exact intersection area of two rotated rects, differentiable.
 
-    Vertex enumeration: 16 edge crossings + 4+4 contained corners; the
-    resulting convex polygon is sorted by angle around the centroid of the
-    valid vertices (the differentiable stand-in for the reference's CUDA
-    ``sort_v``), then integrated by the shoelace formula.
+    Vectorised sort-free Sutherland–Hodgman: clip rect1 against rect2's four
+    edges with fixed 8-slot vertex buffers (compaction via exclusive cumsum +
+    one-hot matmuls), then shoelace.  Replaces the reference's CUDA vertex
+    sort (``box_intersection_2d.py`` + ``sort_v``) — same exact math, and
+    ~2 orders of magnitude cheaper on TPU than the earlier 24-vertex
+    angle-argsort formulation (the argsort lowered to millions of tiny
+    sorts inside NMS).  Gradients flow through the intersection points and
+    gathered vertices exactly like the reference's sorted-vertex gather.
 
     Args:
       corners1, corners2: ``(..., 4, 2)``.
@@ -152,32 +160,69 @@ def rect_intersection_area(corners1, corners2):
       ``(...,)`` intersection areas.
     """
     batch = jnp.broadcast_shapes(corners1.shape[:-2], corners2.shape[:-2])
-    corners1 = jnp.broadcast_to(corners1, batch + (4, 2))
-    corners2 = jnp.broadcast_to(corners2, batch + (4, 2))
-    inter_pts, inter_mask = _segment_intersections(corners1, corners2)
-    in2 = _points_in_rect(corners1, corners2)
-    in1 = _points_in_rect(corners2, corners1)
+    corners1 = jnp.broadcast_to(corners1, batch + (4, 2)).astype(jnp.float32)
+    corners2 = jnp.broadcast_to(corners2, batch + (4, 2)).astype(jnp.float32)
 
-    pts = jnp.concatenate([inter_pts, corners1, corners2], axis=-2)  # (..., 24, 2)
-    mask = jnp.concatenate([inter_mask, in2, in1], axis=-1)          # (..., 24)
+    verts = jnp.concatenate(
+        [corners1, jnp.zeros(batch + (_SLOTS - 4, 2), jnp.float32)], axis=-2)
+    count = jnp.full(batch, 4, jnp.int32)
+    center2 = corners2.mean(axis=-2)                       # always inside
+    slot = jnp.arange(_SLOTS)
 
-    num = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-    center = jnp.sum(jnp.where(mask[..., None], pts, 0.0), axis=-2,
-                     keepdims=True) / num[..., None]
-    rel = pts - center
-    angles = jnp.arctan2(rel[..., 1], rel[..., 0])
-    angles = jnp.where(mask, angles, 1e6)  # invalid points sort last
-    order = jnp.argsort(angles, axis=-1)
-    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
-    mask_sorted = jnp.take_along_axis(mask, order, axis=-1)
+    for e in range(4):
+        a = corners2[..., e, :]
+        b = corners2[..., (e + 1) % 4, :]
+        ab = b - a
 
-    # pad the tail with the first vertex so the shoelace closes the polygon
-    first = pts_sorted[..., :1, :]
-    pts_closed = jnp.where(mask_sorted[..., None], pts_sorted, first)
-    nxt = jnp.roll(pts_closed, -1, axis=-2)
-    cross = (pts_closed[..., 0] * nxt[..., 1] - pts_closed[..., 1] * nxt[..., 0])
+        def signed(p, a=a, ab=ab):
+            rel = p - a[..., None, :]
+            return ab[..., None, 0] * rel[..., 1] - ab[..., None, 1] * rel[..., 0]
+
+        ref = (ab[..., 0] * (center2 - a)[..., 1]
+               - ab[..., 1] * (center2 - a)[..., 0])
+        sign = jnp.where(ref >= 0, 1.0, -1.0)[..., None]
+
+        s_cur = signed(verts) * sign                        # (..., 8)
+        active = slot < count[..., None]
+        nxt_idx = jnp.where(slot + 1 < count[..., None], slot + 1, 0)
+        v_nxt = jnp.take_along_axis(verts, nxt_idx[..., None], axis=-2)
+        s_nxt = jnp.take_along_axis(s_cur, nxt_idx, axis=-1)
+
+        inside_cur = s_cur >= 0
+        inside_nxt = s_nxt >= 0
+        emit_cur = active & inside_cur
+        emit_int = active & (inside_cur != inside_nxt)
+
+        denom = s_cur - s_nxt
+        t = s_cur / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        ipt = verts + t[..., None] * (v_nxt - verts)
+
+        n_emit = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
+        pos0 = jnp.cumsum(n_emit, axis=-1) - n_emit         # exclusive cumsum
+        pos1 = pos0 + emit_cur.astype(jnp.int32)
+
+        # scatter by static unroll over the 8 input slots — keeps peak
+        # intermediates at (..., 8) instead of a (..., 8, 8) one-hot tensor
+        new_verts = jnp.zeros_like(verts)
+        for i in range(_SLOTS):
+            oh0 = ((pos0[..., i:i + 1] == slot)
+                   & emit_cur[..., i:i + 1]).astype(verts.dtype)
+            oh1 = ((pos1[..., i:i + 1] == slot)
+                   & emit_int[..., i:i + 1]).astype(verts.dtype)
+            new_verts = (new_verts
+                         + oh0[..., None] * verts[..., i:i + 1, :]
+                         + oh1[..., None] * ipt[..., i:i + 1, :])
+        verts = new_verts
+        count = jnp.sum(n_emit, axis=-1)
+
+    # shoelace: pad inactive slots with the first vertex to close the polygon
+    active = slot < count[..., None]
+    first = verts[..., :1, :]
+    closed = jnp.where(active[..., None], verts, first)
+    nxt = jnp.roll(closed, -1, axis=-2)
+    cross = closed[..., 0] * nxt[..., 1] - closed[..., 1] * nxt[..., 0]
     area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
-    return jnp.where(jnp.squeeze(num, -1) > 2, area, 0.0)
+    return jnp.where(count > 2, area, 0.0)
 
 
 def rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2):
