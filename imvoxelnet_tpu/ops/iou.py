@@ -16,6 +16,7 @@ TPU-native replacements for the reference's native kernels:
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from . import boxes as box_ops
@@ -145,14 +146,15 @@ _SLOTS = 8  # rect ∩ rect has at most 8 vertices
 def rect_intersection_area(corners1, corners2):
     """Exact intersection area of two rotated rects, differentiable.
 
-    Vectorised sort-free Sutherland–Hodgman: clip rect1 against rect2's four
-    edges with fixed 8-slot vertex buffers (compaction via exclusive cumsum +
-    one-hot matmuls), then shoelace.  Replaces the reference's CUDA vertex
-    sort (``box_intersection_2d.py`` + ``sort_v``) — same exact math, and
-    ~2 orders of magnitude cheaper on TPU than the earlier 24-vertex
-    angle-argsort formulation (the argsort lowered to millions of tiny
-    sorts inside NMS).  Gradients flow through the intersection points and
-    gathered vertices exactly like the reference's sorted-vertex gather.
+    Vectorised sort-free Sutherland–Hodgman clip of rect1 against rect2's
+    four edges, in structure-of-arrays layout: every working array is
+    ``(8 slots, P pairs)`` with the flattened pair axis minor, so each op
+    fills full 8x128 TPU vregs (the earlier array-of-structs layout with
+    minor dims of 2/8 wasted ~98% of the VPU lanes and made the NMS IoU
+    matrix the bottleneck).  Replaces the reference's CUDA vertex sort
+    (``box_intersection_2d.py`` + ``sort_v``); gradients flow through the
+    clipped vertex coordinates exactly like the reference's sorted-vertex
+    gather.
 
     Args:
       corners1, corners2: ``(..., 4, 2)``.
@@ -160,33 +162,36 @@ def rect_intersection_area(corners1, corners2):
       ``(...,)`` intersection areas.
     """
     batch = jnp.broadcast_shapes(corners1.shape[:-2], corners2.shape[:-2])
-    corners1 = jnp.broadcast_to(corners1, batch + (4, 2)).astype(jnp.float32)
-    corners2 = jnp.broadcast_to(corners2, batch + (4, 2)).astype(jnp.float32)
+    c1 = jnp.broadcast_to(corners1, batch + (4, 2)).astype(jnp.float32)
+    c2 = jnp.broadcast_to(corners2, batch + (4, 2)).astype(jnp.float32)
+    p = int(np.prod(batch)) if batch else 1
+    c1 = c1.reshape(p, 4, 2)
+    c2 = c2.reshape(p, 4, 2)
 
-    verts = jnp.concatenate(
-        [corners1, jnp.zeros(batch + (_SLOTS - 4, 2), jnp.float32)], axis=-2)
-    count = jnp.full(batch, 4, jnp.int32)
-    center2 = corners2.mean(axis=-2)                       # always inside
-    slot = jnp.arange(_SLOTS)
+    # SoA: (slots, P)
+    zeros = jnp.zeros((_SLOTS - 4, p), jnp.float32)
+    vx = jnp.concatenate([c1[:, :, 0].T, zeros], axis=0)
+    vy = jnp.concatenate([c1[:, :, 1].T, zeros], axis=0)
+    count = jnp.full((p,), 4, jnp.int32)
+    cx2 = c2[:, :, 0].mean(axis=1)                         # (P,) rect2 center
+    cy2 = c2[:, :, 1].mean(axis=1)
+    slot_col = jnp.arange(_SLOTS)[:, None]                  # (8, 1)
 
     for e in range(4):
-        a = corners2[..., e, :]
-        b = corners2[..., (e + 1) % 4, :]
-        ab = b - a
+        ax = c2[:, e, 0]
+        ay = c2[:, e, 1]
+        abx = c2[:, (e + 1) % 4, 0] - ax
+        aby = c2[:, (e + 1) % 4, 1] - ay
+        ref = abx * (cy2 - ay) - aby * (cx2 - ax)
+        sign = jnp.where(ref >= 0, 1.0, -1.0)               # (P,)
 
-        def signed(p, a=a, ab=ab):
-            rel = p - a[..., None, :]
-            return ab[..., None, 0] * rel[..., 1] - ab[..., None, 1] * rel[..., 0]
-
-        ref = (ab[..., 0] * (center2 - a)[..., 1]
-               - ab[..., 1] * (center2 - a)[..., 0])
-        sign = jnp.where(ref >= 0, 1.0, -1.0)[..., None]
-
-        s_cur = signed(verts) * sign                        # (..., 8)
-        active = slot < count[..., None]
-        nxt_idx = jnp.where(slot + 1 < count[..., None], slot + 1, 0)
-        v_nxt = jnp.take_along_axis(verts, nxt_idx[..., None], axis=-2)
-        s_nxt = jnp.take_along_axis(s_cur, nxt_idx, axis=-1)
+        s_cur = (abx * (vy - ay) - aby * (vx - ax)) * sign  # (8, P)
+        active = slot_col < count[None, :]
+        # next vertex: v[(i+1)] while i+1 < count else v[0]
+        take_next = (slot_col + 1) < count[None, :]
+        nvx = jnp.where(take_next, jnp.roll(vx, -1, axis=0), vx[0:1])
+        nvy = jnp.where(take_next, jnp.roll(vy, -1, axis=0), vy[0:1])
+        s_nxt = jnp.where(take_next, jnp.roll(s_cur, -1, axis=0), s_cur[0:1])
 
         inside_cur = s_cur >= 0
         inside_nxt = s_nxt >= 0
@@ -195,34 +200,34 @@ def rect_intersection_area(corners1, corners2):
 
         denom = s_cur - s_nxt
         t = s_cur / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
-        ipt = verts + t[..., None] * (v_nxt - verts)
+        ix = vx + t * (nvx - vx)
+        iy = vy + t * (nvy - vy)
 
         n_emit = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
-        pos0 = jnp.cumsum(n_emit, axis=-1) - n_emit         # exclusive cumsum
+        pos0 = jnp.cumsum(n_emit, axis=0) - n_emit          # exclusive cumsum
         pos1 = pos0 + emit_cur.astype(jnp.int32)
 
-        # scatter by static unroll over the 8 input slots — keeps peak
-        # intermediates at (..., 8) instead of a (..., 8, 8) one-hot tensor
-        new_verts = jnp.zeros_like(verts)
-        for i in range(_SLOTS):
-            oh0 = ((pos0[..., i:i + 1] == slot)
-                   & emit_cur[..., i:i + 1]).astype(verts.dtype)
-            oh1 = ((pos1[..., i:i + 1] == slot)
-                   & emit_int[..., i:i + 1]).astype(verts.dtype)
-            new_verts = (new_verts
-                         + oh0[..., None] * verts[..., i:i + 1, :]
-                         + oh1[..., None] * ipt[..., i:i + 1, :])
-        verts = new_verts
-        count = jnp.sum(n_emit, axis=-1)
+        # scatter: new[k] = Σ_i [pos0_i == k & emit_cur_i] v_i + [pos1_i == k
+        # & emit_int_i] ipt_i — static 8x8 unroll of (P,)-lane fused ops
+        new_vx = jnp.zeros_like(vx)
+        new_vy = jnp.zeros_like(vy)
+        for k in range(_SLOTS):
+            m0 = ((pos0 == k) & emit_cur).astype(jnp.float32)
+            m1 = ((pos1 == k) & emit_int).astype(jnp.float32)
+            new_vx = new_vx.at[k].set(jnp.sum(m0 * vx + m1 * ix, axis=0))
+            new_vy = new_vy.at[k].set(jnp.sum(m0 * vy + m1 * iy, axis=0))
+        vx, vy = new_vx, new_vy
+        count = jnp.sum(n_emit, axis=0)
 
     # shoelace: pad inactive slots with the first vertex to close the polygon
-    active = slot < count[..., None]
-    first = verts[..., :1, :]
-    closed = jnp.where(active[..., None], verts, first)
-    nxt = jnp.roll(closed, -1, axis=-2)
-    cross = closed[..., 0] * nxt[..., 1] - closed[..., 1] * nxt[..., 0]
-    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
-    return jnp.where(count > 2, area, 0.0)
+    active = slot_col < count[None, :]
+    cvx = jnp.where(active, vx, vx[0:1])
+    cvy = jnp.where(active, vy, vy[0:1])
+    nvx = jnp.roll(cvx, -1, axis=0)
+    nvy = jnp.roll(cvy, -1, axis=0)
+    area = 0.5 * jnp.abs(jnp.sum(cvx * nvy - cvy * nvx, axis=0))
+    area = jnp.where(count > 2, area, 0.0)
+    return area.reshape(batch)
 
 
 def rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2):
