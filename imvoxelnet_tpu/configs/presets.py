@@ -75,15 +75,16 @@ class Preset:
 
 def _indoor_model(n_classes, fast: bool, topk: int, n_voxels, voxel_size,
                   dataset: str, layout: bool = False,
-                  score_thr: float = 0.05) -> ImVoxelNetConfig:
+                  score_thr: float = 0.05, fast_score_thr: float = 0.0,
+                  fast_iou_thr: float = 0.15) -> ImVoxelNetConfig:
     if fast:
         neck = NeckConfig(kind='fast', in_channels=256, out_channels=128,
                           n_blocks=(1, 1, 1))
         head = IndoorHeadConfig(
             n_classes=n_classes, n_reg_outs=7 if dataset == 'sunrgbd' else 6,
             voxel_size=voxel_size, dataset=dataset, version=2,
-            centerness_topk=18, limit=27, nms_pre=1000, score_thr=0.0,
-            iou_thr=0.15)
+            centerness_topk=18, limit=27, nms_pre=1000,
+            score_thr=fast_score_thr, iou_thr=fast_iou_thr)
         fpn_out = 256
     else:
         neck = NeckConfig(kind='imvoxel', channels=(64, 128, 256, 512),
@@ -102,7 +103,7 @@ def _indoor_model(n_classes, fast: bool, topk: int, n_voxels, voxel_size,
         layout_head=LayoutHeadConfig() if layout else None)
 
 
-def _sunrgbd_family(prefix, classes, layout=False):
+def _sunrgbd_family(prefix, classes, layout=False, fast_score_thr=0.0):
     """v1 / top27 / fast triple for a SUN RGB-D benchmark."""
     presets = {}
     common = dict(dataset='sunrgbd', classes=classes, samples_per_device=4,
@@ -118,7 +119,8 @@ def _sunrgbd_family(prefix, classes, layout=False):
         presets[name] = Preset(
             name=name,
             model=_indoor_model(len(classes), fast, topk, nvox, vsize,
-                                'sunrgbd', layout=layout),
+                                'sunrgbd', layout=layout,
+                                fast_score_thr=fast_score_thr),
             data=DataConfig(**common))
     return presets
 
@@ -175,8 +177,11 @@ def build_presets():
     # --- SUN RGB-D families
     presets.update(_sunrgbd_family('imvoxelnet_sunrgbd',
                                    SUNRGBD_VOTENET_CLASSES))
+    # perspective _fast uses score_thr .01
+    # (imvoxelnet_perspective_sunrgbd_fast.py test_cfg)
     presets.update(_sunrgbd_family('imvoxelnet_perspective_sunrgbd',
-                                   SUNRGBD_PERSPECTIVE_CLASSES))
+                                   SUNRGBD_PERSPECTIVE_CLASSES,
+                                   fast_score_thr=0.01))
     presets.update(_sunrgbd_family('imvoxelnet_total_sunrgbd',
                                    TOTAL_SUNRGBD_CLASSES, layout=True))
 
@@ -191,10 +196,12 @@ def build_presets():
             ('_top27', False, 28, (80, 80, 32), (.08, .08, .08)),
             ('_fast', True, 18, (40, 40, 16), (.16, .16, .16))):
         name = 'imvoxelnet_scannet' + suffix
+        # scannet_fast test_cfg: iou_thr .25, score_thr .01
         presets[name] = Preset(
             name=name,
             model=_indoor_model(len(SCANNET_CLASSES), fast, topk, nvox, vsize,
-                                'scannet', score_thr=0.0),
+                                'scannet', score_thr=0.0,
+                                fast_score_thr=0.01, fast_iou_thr=0.25),
             data=DataConfig(**scan_common))
     # --- tiny smoke-test preset (not one of the 14 reference configs):
     # real structure at toy sizes, for CLI/integration tests on CPU
