@@ -50,7 +50,11 @@ class IndoorHeadConfig:
     nms_pre: int = 1000
     score_thr: float = 0.05
     iou_thr: float = 0.15           # rotated nms_thr (sunrgbd) / aligned iou_thr
-    max_out: int = 256              # fixed-size detection output
+    # fixed-size detection output; the reference caps at max_num = nms_pre
+    max_out: int = 1000
+    # static per-class candidate cap for the rotated NMS (the reference
+    # processes every candidate above score_thr; the top-256 by score per
+    # class is an intentional, documented truncation of the low-score tail)
     pre_nms_k: int = 256
 
     @property
