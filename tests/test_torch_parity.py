@@ -1,0 +1,395 @@
+"""Numeric end-to-end conversion parity against live torch modules.
+
+These tests build torch modules with the *reference's* structure and
+state_dict naming (stem/bottlenecks, FPN convs, the KITTI z-collapsing neck),
+convert their weights with ``utils/checkpoint.py``, and require the flax
+modules to reproduce the torch outputs — the strongest checkpoint-parity
+evidence available without the released checkpoint files (zero-egress image).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip('torch')
+from torch import nn as tnn  # noqa: E402
+
+from imvoxelnet_tpu.utils import checkpoint as ckpt  # noqa: E402
+
+
+def _randomize_bn(m, rng):
+    for mod in m.modules():
+        if isinstance(mod, (tnn.BatchNorm2d, tnn.BatchNorm3d)):
+            c = mod.num_features
+            mod.weight.data = torch.tensor(
+                rng.rand(c).astype(np.float32) + 0.5)
+            mod.bias.data = torch.tensor(rng.randn(c).astype(np.float32) * .1)
+            mod.running_mean = torch.tensor(
+                rng.randn(c).astype(np.float32) * .1)
+            mod.running_var = torch.tensor(
+                rng.rand(c).astype(np.float32) + 0.5)
+
+
+class TorchBottleneck(tnn.Module):
+    """torchvision-structured bottleneck (state_dict names conv1/bn1/...)."""
+
+    def __init__(self, cin, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + idt)
+
+
+class TorchResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        cin, planes = 64, 64
+        for stage, n in enumerate((3, 4, 6, 3), start=1):
+            blocks = []
+            stride = 1 if stage == 1 else 2
+            for b in range(n):
+                blocks.append(TorchBottleneck(
+                    cin if b == 0 else planes * 4, planes,
+                    stride if b == 0 else 1, downsample=(b == 0)))
+            setattr(self, f'layer{stage}', tnn.Sequential(*blocks))
+            cin, planes = planes * 4, planes * 2
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for stage in range(1, 5):
+            x = getattr(self, f'layer{stage}')(x)
+            outs.append(x)
+        return outs
+
+
+def test_resnet50_conversion_numeric_parity():
+    rng = np.random.RandomState(0)
+    tm = TorchResNet50().eval()
+    _randomize_bn(tm, rng)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    x = rng.randn(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+
+    from imvoxelnet_tpu.models.resnet import resnet50
+    params = ckpt.convert_resnet50(sd)
+    j_outs = resnet50().apply({'params': params}, jnp.asarray(x))
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-3)
+
+
+class TorchFPN(tnn.Module):
+    """mmdet-FPN-structured module (lateral_convs.{i}.conv / fpn_convs)."""
+
+    def __init__(self, in_channels=(256, 512, 1024, 2048), out=16):
+        super().__init__()
+
+        class ConvModule(tnn.Module):
+            def __init__(self, cin, cout, k, p=0):
+                super().__init__()
+                self.conv = tnn.Conv2d(cin, cout, k, padding=p)
+
+            def forward(self, x):
+                return self.conv(x)
+
+        self.lateral_convs = tnn.ModuleList(
+            [ConvModule(c, out, 1) for c in in_channels])
+        self.fpn_convs = tnn.ModuleList(
+            [ConvModule(out, out, 3, 1) for _ in in_channels])
+
+    def forward(self, inputs):
+        laterals = [conv(x) for conv, x in zip(self.lateral_convs, inputs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + tnn.functional.interpolate(
+                laterals[i], size=laterals[i - 1].shape[-2:], mode='nearest')
+        return [conv(x) for conv, x in zip(self.fpn_convs, laterals)]
+
+
+def test_fpn_conversion_numeric_parity():
+    rng = np.random.RandomState(1)
+    tm = TorchFPN().eval()
+    sd = {f'neck.{k}': v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    shapes = [(1, 16, 24, 256), (1, 8, 12, 512), (1, 4, 6, 1024),
+              (1, 2, 3, 2048)]
+    xs = [rng.randn(*s).astype(np.float32) for s in shapes]
+    with torch.no_grad():
+        t_outs = tm([torch.tensor(x.transpose(0, 3, 1, 2)) for x in xs])
+
+    from imvoxelnet_tpu.models.fpn import FPN
+    params = ckpt.convert_fpn(sd, n_levels=4)
+    j_outs = FPN(16).apply({'params': params}, [jnp.asarray(x) for x in xs])
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-3)
+
+
+class TorchBasicBlock3d(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv1 = tnn.Conv3d(c, c, 3, 1, 1, bias=False)
+        self.bn1 = tnn.BatchNorm3d(c)
+        self.relu = tnn.ReLU()
+        self.conv2 = tnn.Conv3d(c, c, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm3d(c)
+
+    def forward(self, x):
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + x)
+
+
+def _conv_bn_relu3d(cin, cout, stride, padding):
+    return tnn.Sequential(
+        tnn.Conv3d(cin, cout, 3, stride=stride, padding=padding),
+        tnn.BatchNorm3d(cout), tnn.ReLU())
+
+
+class TorchKittiNeck(tnn.Module):
+    """Reference KittiImVoxelNeck structure (state_dict names model.{i})."""
+
+    def __init__(self, cin=8, cout=16):
+        super().__init__()
+        self.model = tnn.Sequential(
+            TorchBasicBlock3d(cin),
+            _conv_bn_relu3d(cin, cin * 2, (1, 1, 2), (1, 1, 1)),
+            TorchBasicBlock3d(cin * 2),
+            _conv_bn_relu3d(cin * 2, cin * 4, (1, 1, 2), (1, 1, 1)),
+            TorchBasicBlock3d(cin * 4),
+            _conv_bn_relu3d(cin * 4, cout, 1, 0),
+        )
+
+    def forward(self, x):
+        x = self.model(x)
+        return x[..., 0].transpose(-1, -2)
+
+
+def test_kitti_neck_conversion_numeric_parity():
+    rng = np.random.RandomState(2)
+    tm = TorchKittiNeck().eval()
+    _randomize_bn(tm, rng)
+    sd = {f'neck_3d.{k}': v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+
+    x = rng.randn(1, 10, 12, 12, 8).astype(np.float32)   # (B, nx, ny, nz, C)
+    with torch.no_grad():
+        t_out = tm(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+
+    from imvoxelnet_tpu.models.necks3d import KittiImVoxelNeck
+    params, stats = ckpt.convert_kitti_neck(sd)
+    j_out = KittiImVoxelNeck(8, 16).apply(
+        {'params': params, 'batch_stats': stats}, jnp.asarray(x),
+        train=False)[0]
+    # torch output (B, C, ny, nx) -> NHWC
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-3, atol=1e-3)
+
+
+class TorchEncoderDecoder(tnn.Module):
+    """Reference ImVoxelNeck EncoderDecoder structure (layers_down /
+    layers_up_conv / layers_up_res / proj, conditional=False)."""
+
+    def __init__(self, channels=(8, 12, 16, 24), down=(1, 1, 1, 1),
+                 up=(1, 1, 1)):
+        super().__init__()
+        self.layers_down = tnn.ModuleList()
+        self.layers_down.append(tnn.Sequential(
+            *[TorchBasicBlock3d(channels[0]) for _ in range(down[0])]))
+        self.proj = tnn.ModuleList()
+
+        class Proj(tnn.Module):
+            def __init__(self, c):
+                super().__init__()
+                self.conv = tnn.Conv3d(c, c, 1, bias=False)
+                self.norm = tnn.BatchNorm3d(c)
+                self.relu = tnn.ReLU()
+
+            def forward(self, x):
+                return self.relu(self.norm(self.conv(x)))
+
+        self.proj.append(Proj(channels[0]))
+        for i in range(1, len(channels)):
+            layer = [tnn.Conv3d(channels[i - 1], channels[i], 3, 2, 1,
+                                bias=False),
+                     tnn.BatchNorm3d(channels[i]), tnn.Dropout(0.0),
+                     tnn.ReLU()]
+            layer += [TorchBasicBlock3d(channels[i]) for _ in range(down[i])]
+            self.layers_down.append(tnn.Sequential(*layer))
+            if i < len(channels) - 1:
+                self.proj.append(Proj(channels[i]))
+        self.proj = self.proj[::-1]
+
+        rev = channels[::-1]
+        self.layers_up_conv = tnn.ModuleList()
+        self.layers_up_res = tnn.ModuleList()
+        for i in range(1, len(rev)):
+            self.layers_up_conv.append(
+                tnn.Conv3d(rev[i - 1], rev[i], 1, bias=False))
+            self.layers_up_res.append(tnn.Sequential(
+                *[TorchBasicBlock3d(rev[i]) for _ in range(up[i - 1])]))
+
+    def forward(self, x):
+        xs = []
+        for layer in self.layers_down:
+            x = layer(x)
+            xs.append(x)
+        xs = xs[::-1]
+        out = []
+        for i in range(len(self.layers_up_conv)):
+            x = tnn.functional.interpolate(
+                x, scale_factor=2, mode='trilinear', align_corners=False)
+            x = self.layers_up_conv[i](x)
+            y = self.proj[i](xs[i + 1])
+            x = (x + y) / 2
+            x = self.layers_up_res[i](x)
+            out.append(x)
+        return out
+
+
+class TorchImVoxelNeck(tnn.Module):
+    def __init__(self, channels=(8, 12, 16, 24), out=8):
+        super().__init__()
+        self.model = TorchEncoderDecoder(channels)
+        self.conv_blocks = tnn.ModuleList([
+            tnn.Sequential(tnn.Conv3d(c, out, 3, padding=1),
+                           tnn.BatchNorm3d(out), tnn.ReLU())
+            for c in channels])
+
+    def forward(self, x):
+        x = self.model(x)[::-1]
+        return [self.conv_blocks[i](x[i]) for i in range(len(x))]
+
+
+def test_imvoxel_neck_conversion_numeric_parity():
+    rng = np.random.RandomState(3)
+    tm = TorchImVoxelNeck().eval()
+    _randomize_bn(tm, rng)
+    sd = {f'neck_3d.{k}': v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+
+    x = rng.randn(1, 16, 16, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+
+    from imvoxelnet_tpu.models.necks3d import ImVoxelNeck
+    params, stats = ckpt.convert_imvoxel_neck(
+        sd, channels=(8, 12, 16, 24), down_layers=(1, 1, 1, 1),
+        up_layers=(1, 1, 1))
+    j_outs = ImVoxelNeck((8, 12, 16, 24), 8, (1, 1, 1, 1), (1, 1, 1)).apply(
+        {'params': params, 'batch_stats': stats}, jnp.asarray(x), train=False)
+    assert len(j_outs) == len(t_outs) == 3
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 4, 1),
+            rtol=2e-3, atol=2e-3)
+
+
+class TorchBasicBlock3dV2(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.stride = stride
+        self.conv1 = tnn.Conv3d(cin, cout, 3, stride, 1, bias=False)
+        self.norm1 = tnn.BatchNorm3d(cout)
+        self.relu = tnn.ReLU()
+        self.conv2 = tnn.Conv3d(cout, cout, 3, 1, 1, bias=False)
+        self.norm2 = tnn.BatchNorm3d(cout)
+        if stride != 1:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm3d(cout))
+
+    def forward(self, x):
+        idt = x if self.stride == 1 else self.downsample(x)
+        out = self.relu(self.norm1(self.conv1(x)))
+        out = self.norm2(self.conv2(out))
+        return self.relu(out + idt)
+
+
+class TorchFastNeck(tnn.Module):
+    """Reference FastIndoorImVoxelNeck structure (down_layer_i / up_block_i /
+    out_block_i)."""
+
+    def __init__(self, cin=8, out=8):
+        super().__init__()
+        c = cin
+        for i in range(3):
+            stride = 1 if i == 0 else 2
+            if stride != 1:
+                c2 = c * 2
+                setattr(self, f'down_layer_{i}',
+                        tnn.Sequential(TorchBasicBlock3dV2(c, c2, 2)))
+                c = c2
+            else:
+                setattr(self, f'down_layer_{i}',
+                        tnn.Sequential(TorchBasicBlock3dV2(c, c)))
+            if i > 0:
+                setattr(self, f'up_block_{i}', tnn.Sequential(
+                    tnn.ConvTranspose3d(c, c // 2, 2, 2, bias=False),
+                    tnn.BatchNorm3d(c // 2), tnn.ReLU(),
+                    tnn.Conv3d(c // 2, c // 2, 3, 1, 1, bias=False),
+                    tnn.BatchNorm3d(c // 2), tnn.ReLU()))
+            setattr(self, f'out_block_{i}', tnn.Sequential(
+                tnn.Conv3d(c, out, 3, 1, 1, bias=False),
+                tnn.BatchNorm3d(out), tnn.ReLU()))
+
+    def forward(self, x):
+        downs = []
+        for i in range(3):
+            x = getattr(self, f'down_layer_{i}')(x)
+            downs.append(x)
+        outs = []
+        for i in range(2, -1, -1):
+            if i < 2:
+                x = getattr(self, f'up_block_{i + 1}')(x)
+                x = downs[i] + x
+            outs.append(getattr(self, f'out_block_{i}')(x))
+        return outs[::-1]
+
+
+def test_fast_neck_conversion_numeric_parity():
+    rng = np.random.RandomState(4)
+    tm = TorchFastNeck().eval()
+    _randomize_bn(tm, rng)
+    sd = {f'neck_3d.{k}': v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+
+    x = rng.randn(1, 8, 8, 4, 8).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+
+    from imvoxelnet_tpu.models.necks3d import FastIndoorImVoxelNeck
+    params, stats = ckpt.convert_fast_neck(sd, n_blocks=(1, 1, 1))
+    j_outs = FastIndoorImVoxelNeck(8, (1, 1, 1), 8).apply(
+        {'params': params, 'batch_stats': stats}, jnp.asarray(x), train=False)
+    assert len(j_outs) == len(t_outs) == 3
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 4, 1),
+            rtol=2e-3, atol=2e-3)
