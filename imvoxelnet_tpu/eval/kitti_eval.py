@@ -431,6 +431,12 @@ def get_mAP(prec):
     return prec[..., ::4].sum(-1) / 11 * 100
 
 
+def get_mAP_R40(prec):
+    """40-recall-position AP (the official KITTI protocol since 2019; the
+    reference pins the older 11-point variant — both are reported here)."""
+    return prec[..., 1:].sum(-1) / 40 * 100
+
+
 def kitti_eval(gt_annos, dt_annos, current_classes,
                eval_types=('bbox', 'bev', '3d')):
     """Full protocol (``eval.py:643-775``); returns the reference's flat
@@ -464,6 +470,7 @@ def kitti_eval(gt_annos, dt_annos, current_classes,
 
     for metric_name, r in ret.items():
         mAP = get_mAP(r['precision'])  # [cls, diff, minoverlap]
+        mAP40 = get_mAP_R40(r['precision'])
         for m, cls in enumerate(current_classes):
             cls_name = cls if isinstance(cls, str) else CLASS_NAMES[cls]
             for d, dn in enumerate(diff_names):
@@ -471,6 +478,7 @@ def kitti_eval(gt_annos, dt_annos, current_classes,
                     key = f'KITTI/{cls_name}_{metric_name.upper()}_{dn}'
                     if strictness == 'strict':
                         results[key] = float(mAP[m, d, k])
+                        results[key + '_R40'] = float(mAP40[m, d, k])
                     else:
                         results[key + '_loose'] = float(mAP[m, d, k])
         if metric_name == 'bbox' and compute_aos:

@@ -169,3 +169,31 @@ def test_convert_to_kitti_annos_roundtrip():
                               [annos[0]['rotation_y'][0]]])[None]
     iou = ke.d3_box_overlap(dt_full, gt_full)
     assert iou[0, 0] > 0.99
+
+
+def test_r40_reported_alongside_11pt():
+    gt = [dict(
+        name=np.array(['Car']), truncated=np.array([0.0]),
+        occluded=np.array([0]), alpha=np.array([0.2]),
+        bbox=np.array([[300.0, 150.0, 400.0, 250.0]]),
+        dimensions=np.array([[3.9, 1.56, 1.6]]),
+        location=np.array([[2.0, 1.5, 20.0]]),
+        rotation_y=np.array([0.3]),
+    )]
+    dt = [dict(
+        name=np.array(['Car']), truncated=np.zeros(1),
+        occluded=np.zeros(1, int), alpha=np.array([0.2]),
+        bbox=np.array([[300.0, 150.0, 400.0, 250.0]]),
+        dimensions=np.array([[3.9, 1.56, 1.6]]),
+        location=np.array([[2.0, 1.5, 20.0]]),
+        rotation_y=np.array([0.3]), score=np.array([0.9]),
+    )]
+    # with a single GT only one recall position fills (protocol artifact);
+    # replicate the perfect pair over 41 images so all positions fill
+    gt41 = gt * 41
+    dt41 = [dict(d, score=np.array([1.0 - 0.01 * i]))
+            for i, d in enumerate(dt * 41)]
+    res = ke.kitti_eval(gt41, dt41, ['Car'], eval_types=('3d',))
+    assert 'KITTI/Car_3D_moderate_R40' in res
+    assert res['KITTI/Car_3D_moderate_R40'] > 95.0
+    assert res['KITTI/Car_3D_moderate'] > 95.0
