@@ -162,3 +162,28 @@ def test_total3d_layout_head():
     outs2 = model2.apply(variables, batch, train=False,
                          use_predicted_extrinsics=True)
     assert outs2[0] is not None
+
+
+def test_predicted_extrinsics_properties():
+    """get_extrinsics port (imvoxelnet.py:163-187): output must be a valid
+    rotation embedded in a 4x4, reducing to the fixed axis map at 0 angles."""
+    import jax.numpy as jnp
+    from imvoxelnet_tpu.models.heads.layout_head import predicted_extrinsics
+
+    ext = np.asarray(predicted_extrinsics(jnp.asarray([[0.0, 0.0]])))[0]
+    r = ext[:3, :3]
+    # orthonormal rotation
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-6)
+    assert ext[3, 3] == 1.0 and np.allclose(ext[:3, 3], 0)
+    # zero pitch/roll: depth (x, y, z) -> camera (x, -z, y), the same frame
+    # convention as SUN RGB-D's identity-Rt extrinsic
+    p = r @ np.array([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(p, [1.0, -3.0, 2.0], atol=1e-6)
+
+    # nonzero angles stay rotations
+    for angles in ([0.3, -0.2], [-0.5, 0.4]):
+        ext = np.asarray(predicted_extrinsics(jnp.asarray([angles])))[0]
+        r = ext[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
