@@ -63,14 +63,35 @@ def main():
 
     use_pred_ext = preset.model.layout_head is not None
 
+    # distributed eval (the multi_gpu_test analog): shard the batch over all
+    # devices; results come back globally (GSPMD inserts the gathers)
+    from imvoxelnet_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    rep = mesh_lib.replicated(mesh)
+    dp = mesh_lib.batch_sharding(mesh)
+    n_dev = len(jax.devices())
+    shard = args.batch_size % n_dev == 0 and n_dev > 1
+
     @jax.jit
     def forward(variables, batch):
         outs = model.apply(variables, batch, train=False,
                            use_predicted_extrinsics=use_pred_ext)
         return imvoxelnet_predict(preset.model, *outs, batch)
 
+    if shard:
+        forward = jax.jit(forward, in_shardings=(rep, dp),
+                          out_shardings=rep)
+        variables = jax.device_put(variables, rep)
+
     results = []
     for batch in loader.epoch(0):
+        if shard and batch['images'].shape[0] % n_dev != 0:
+            shortfall = -batch['images'].shape[0] % n_dev
+            import numpy as _np
+            batch = {k: _np.concatenate([v] + [v[-1:]] * shortfall)
+                     for k, v in batch.items()}
+        if shard:
+            batch = mesh_lib.shard_batch(batch, mesh)
         out = jax.device_get(forward(variables, batch))
         b = batch['images'].shape[0]
         for i in range(b):
