@@ -160,3 +160,32 @@ def test_anchor_targets_single_shapes():
     assert t['labels'].shape == (20,)
     assert t['bbox_targets'].shape == (20, 7)
     assert int(t['n_pos']) >= 1
+
+
+def test_delta_coder_roundtrip_and_semantics():
+    """DeltaXYZWLHRBBoxCoder: encode/decode inverse + diagonal normalisation
+    and gravity-z referencing (delta_xyzwhlr_bbox_coder.py:20-90)."""
+    from imvoxelnet_tpu.core import coder
+    rng = np.random.RandomState(0)
+    anchors = jnp.asarray(np.concatenate(
+        [rng.uniform(-10, 10, (16, 3)), rng.uniform(1, 4, (16, 3)),
+         rng.uniform(-3, 3, (16, 1))], 1), jnp.float32)
+    boxes = jnp.asarray(np.concatenate(
+        [rng.uniform(-10, 10, (16, 3)), rng.uniform(1, 4, (16, 3)),
+         rng.uniform(-3, 3, (16, 1))], 1), jnp.float32)
+    deltas = coder.encode(anchors, boxes)
+    decoded = coder.decode(anchors, deltas)
+    np.testing.assert_allclose(np.asarray(decoded), np.asarray(boxes),
+                               rtol=1e-4, atol=1e-4)
+    # identical box -> zero deltas
+    z = coder.encode(anchors, anchors)
+    np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-6)
+    # xy offsets normalised by the BEV diagonal
+    a = jnp.asarray([[0., 0., 0., 3., 4., 2., 0.]])
+    b = jnp.asarray([[5., 0., 0., 3., 4., 2., 0.]])
+    d = np.asarray(coder.encode(a, b))[0]
+    np.testing.assert_allclose(d[0], 5.0 / 5.0, atol=1e-6)  # diag = 5
+    # z offset referenced at the gravity center and normalised by height
+    b2 = jnp.asarray([[0., 0., 1., 3., 4., 2., 0.]])
+    d2 = np.asarray(coder.encode(a, b2))[0]
+    np.testing.assert_allclose(d2[2], 0.5, atol=1e-6)
