@@ -102,3 +102,20 @@ def test_rotation_matches_reference_golden():
     m = np.asarray(box_ops.rotation_matrix_2d(angle))[0]
     np.testing.assert_allclose(m, [[0.9908, -0.1356], [0.1356, 0.9908]],
                                atol=1e-3)
+
+
+def test_in_range_bev_reference_semantics():
+    """Strict-inequality BEV range check (reference expected [1,1,0,0,0]
+    pattern from test_box3d.py's in_range cases)."""
+    boxes = jnp.asarray([
+        [5.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.1],
+        [20.0, 10.0, 0.0, 2.0, 2.0, 2.0, 0.1],
+        [-1.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.1],   # x below range
+        [5.0, 45.0, 0.0, 2.0, 2.0, 2.0, 0.1],   # y above range
+        [70.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.1],   # x above range
+    ])
+    out = np.asarray(box_ops.in_range_bev(boxes, (0, -40, 69.12, 40)))
+    np.testing.assert_array_equal(out, [True, True, False, False, False])
+    # boundary is exclusive (strict >)
+    edge = jnp.asarray([[0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]])
+    assert not bool(box_ops.in_range_bev(edge, (0, -40, 69.12, 40))[0])
