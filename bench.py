@@ -48,26 +48,39 @@ def main():
         outs = model.apply(variables, batch, train=False)
         return imvoxelnet_predict(model_cfg, *outs, batch)
 
-    def run_once():
-        out = forward(variables, batch)
+    def fetch(out):
         # force completion + transfer of the actual detections
         return float(np.asarray(out['scores']).sum())
 
-    run_once()  # compile
-    run_once()  # steady-state warm-up
+    fetch(forward(variables, batch))  # compile
+    fetch(forward(variables, batch))  # steady-state warm-up
 
-    n_iters = 10
+    # Steady-state serving throughput: keep one batch in flight so host
+    # dispatch/tunnel latency overlaps device execution; every iteration
+    # still ends with a d2h fetch of the previous batch's detections, so the
+    # measurement covers real execution on the axon backend.
+    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run_once()
+    prev = forward(variables, batch)
+    for _ in range(n_iters - 1):
+        cur = forward(variables, batch)
+        fetch(prev)
+        prev = cur
+    fetch(prev)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = batch_size * n_iters / dt
+    # Model cost: ~2.69 TFLOP/scene (3D neck 2.60 TF dominates ResNet-50+FPN
+    # ~0.09 TF at 384x1280; per-layer arithmetic in docs/performance.md).
+    # v5e nominal bf16 peak = 197 TFLOP/s.
+    tflop_per_scene = 2.69
+    mfu = scenes_per_sec * tflop_per_scene / 197.0
     print(json.dumps({
         'metric': 'kitti_fwd_scenes_per_sec_per_chip',
         'value': round(scenes_per_sec, 2),
         'unit': 'scenes/sec',
         'vs_baseline': round(scenes_per_sec / REFERENCE_GPU_SCENES_PER_SEC, 3),
+        'mfu': round(mfu, 3),
     }))
 
 

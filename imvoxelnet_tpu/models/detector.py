@@ -120,18 +120,21 @@ class ImVoxelNet(nn.Module):
             extrinsics = jnp.broadcast_to(
                 pred_ext[:, None], extrinsics.shape)
 
-        def sample_volume(feat_v, intrinsic, ext_v, origin, img_shape, ratio):
-            proj = bp.compute_projection(intrinsic, ext_v, ratio)
-            points = bp.get_points(
-                cfg.n_voxels, cfg.voxel_size, origin).reshape(-1, 3)
-            valid_hw = img_shape // cfg.stride
-            vol, seen = bp.backproject(feat_v, points, proj, valid_hw)
-            nx, ny, nz = cfg.n_voxels
-            return (vol.reshape(nx, ny, nz, -1), seen.reshape(nx, ny, nz))
+        nx, ny, nz = cfg.n_voxels
+        projections = jax.vmap(bp.compute_projection)(
+            batch['intrinsics'], extrinsics, batch['ratios'])
+        points = jax.vmap(
+            lambda o: bp.get_points(cfg.n_voxels, cfg.voxel_size, o)
+        )(batch['origins']).reshape(b, -1, 3)
+        valid_hw = batch['img_shape'] // cfg.stride
 
-        volume, valid = jax.vmap(sample_volume)(
-            x, batch['intrinsics'], extrinsics, batch['origins'],
-            batch['img_shape'], batch['ratios'])
+        # single voxel-major gather for the whole batch: output rows land in
+        # the (x, y, z, B, C) physical order the NDHWC 3D convs want
+        acc, cnt = bp.backproject_batch(x, points, projections, valid_hw)
+        vol, seen = bp.mean_pool_from_sums(acc, cnt, n_views=v)
+        volume = jnp.transpose(
+            vol.reshape(nx, ny, nz, b, -1), (3, 0, 1, 2, 4))
+        valid = jnp.transpose(seen.reshape(nx, ny, nz, b), (3, 0, 1, 2))
 
         neck_outs = build_neck(cfg.neck, cfg.axis_name, dtype)(volume, train)
 

@@ -86,9 +86,19 @@ def backproject_sum_count(features, points, projections, valid_hw=None,
     return acc, cnt
 
 
-def mean_pool_from_sums(acc, cnt):
+def mean_pool_from_sums(acc, cnt, n_views=None):
+    """Mean over seen views, zero where unseen (``imvoxelnet.py:70-74``).
+
+    ``n_views``: pass the static view count; for a single view the masked
+    sums already *are* the means (cnt is 0/1 and acc is zeroed where
+    invalid), so the division and re-masking are skipped — they otherwise
+    cost real HBM bandwidth fused into the first 3D-neck convolution.
+    """
     seen = cnt > 0
-    volume = jnp.where(seen[:, None], acc / jnp.maximum(cnt[:, None], 1.0), 0.0)
+    if n_views == 1:
+        return acc, seen
+    volume = jnp.where(seen[..., None], acc / jnp.maximum(cnt[..., None], 1.0),
+                       0.0)
     return volume, seen
 
 
@@ -106,6 +116,63 @@ def backproject_view_sharded(features, points, projections, valid_hw,
     acc = jax.lax.psum(acc, axis_name)
     cnt = jax.lax.psum(cnt, axis_name)
     return mean_pool_from_sums(acc, cnt)
+
+
+def backproject_batch(features, points, projections, valid_hw):
+    """Whole-batch backprojection with a single voxel-major gather per view.
+
+    Functionally identical to ``vmap(backproject)`` over the batch, but the
+    gather emits rows in ``(voxel, batch)`` order so its output is *already*
+    in the physical layout the downstream NDHWC 3D convolutions want
+    (minor-to-major ``C, B, z, y, x``) — profiling showed the batch-major
+    vmap form spent ~5 ms/batch re-laying-out the 658 MB volume
+    (``reshape.2940`` in the KITTI b8 trace).
+
+    Args:
+      features: ``(B, V, Hf, Wf, C)``.
+      points: ``(B, P, 3)`` per-sample voxel centers.
+      projections: ``(B, V, 3, 4)``.
+      valid_hw: ``(B, 2)`` int ``(h, w)`` valid feature extents.
+
+    Returns:
+      acc: ``(P, B, C)`` per-voxel feature sums over valid views.
+      cnt: ``(P, B)`` number of views seeing each voxel.
+    """
+    b, v, hf, wf, c = features.shape
+    p = points.shape[1]
+
+    def view_indices(points_s, proj_s, hw_s):
+        x, y, z = project_points(points_s, proj_s)
+        valid = ((x >= 0) & (y >= 0) & (x < hw_s[1]) & (y < hw_s[0])
+                 & (z > 0))
+        idx = jnp.clip(y, 0, hf - 1) * wf + jnp.clip(x, 0, wf - 1)
+        return idx, valid
+
+    # (B, V, P) indices into each view's (Hf*Wf) table + validity
+    idx, valid = jax.vmap(
+        jax.vmap(view_indices, in_axes=(None, 0, None)),
+        in_axes=(0, 0, 0))(points, projections, valid_hw)
+
+    # voxel-major, batch-minor flat indices into the (B*Hf*Wf) joint table
+    offs = (jnp.arange(b, dtype=idx.dtype) * (hf * wf))[None, :]
+
+    def one_view(carry, view):
+        acc, cnt = carry
+        feats_v, idx_v, valid_v = view          # (B,Hf,Wf,C), (B,P), (B,P)
+        flat = (idx_v.T + offs).reshape(-1)     # (P*B,) voxel-major
+        gathered = jnp.take(feats_v.reshape(b * hf * wf, c), flat, axis=0,
+                            mode='clip')
+        vmask = valid_v.T.reshape(-1)           # (P*B,)
+        gathered = jnp.where(vmask[:, None], gathered, 0.0)
+        return (acc + gathered, cnt + vmask.astype(acc.dtype)), None
+
+    init = (jnp.zeros((p * b, c), features.dtype),
+            jnp.zeros((p * b,), features.dtype))
+    (acc, cnt), _ = jax.lax.scan(
+        one_view, init,
+        (jnp.swapaxes(features, 0, 1), jnp.swapaxes(idx, 0, 1),
+         jnp.swapaxes(valid, 0, 1)))
+    return acc.reshape(p, b, c), cnt.reshape(p, b)
 
 
 def backproject(features, points, projections, valid_hw=None):
@@ -126,7 +193,7 @@ def backproject(features, points, projections, valid_hw=None):
       valid: ``(P,)`` bool, voxel seen by >= 1 view.
     """
     acc, cnt = backproject_sum_count(features, points, projections, valid_hw)
-    return mean_pool_from_sums(acc, cnt)
+    return mean_pool_from_sums(acc, cnt, n_views=features.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=('n_voxels',))

@@ -94,3 +94,40 @@ def test_compute_projection_intrinsic_rescale():
     np.testing.assert_allclose(proj[0, 0, 0], 50.0)
     np.testing.assert_allclose(proj[0, 1, 2], 20.0)
     np.testing.assert_allclose(proj[0, 2, 2], 1.0)
+
+
+def test_backproject_batch_matches_per_sample():
+    """backproject_batch == vmap(backproject) for multi-view AND the V=1
+    fast path (masked sums are means for a single view)."""
+    rng = np.random.RandomState(1)
+    for v in (1, 3):
+        b, hf, wf, c = 2, 12, 16, 8
+        feats = rng.randn(b, v, hf, wf, c).astype(np.float32)
+        k = np.array([[12.0, 0, wf / 2], [0, 12.0, hf / 2], [0, 0, 1]],
+                     np.float32)
+        projs = np.zeros((b, v, 3, 4), np.float32)
+        for i in range(b):
+            for j in range(v):
+                e = np.eye(4, dtype=np.float32)
+                e[:3, 3] = rng.randn(3) * 0.1
+                projs[i, j] = k @ e[:3]
+        pts = np.stack([
+            np.asarray(bp.get_points((4, 4, 4), (0.4, 0.4, 0.4),
+                                     jnp.asarray([0.0, 0.0, 2.0 + 0.1 * i]))
+                       ).reshape(-1, 3)
+            for i in range(b)])
+        hw = np.tile(np.asarray([hf, wf], np.int32), (b, 1))
+
+        acc, cnt = bp.backproject_batch(
+            jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(projs),
+            jnp.asarray(hw))
+        vol, seen = bp.mean_pool_from_sums(acc, cnt, n_views=v)
+        vol = np.asarray(vol).transpose(1, 0, 2)     # (B, P, C)
+        seen = np.asarray(seen).T                    # (B, P)
+
+        for i in range(b):
+            ref_vol, ref_seen = bp.backproject(
+                jnp.asarray(feats[i]), jnp.asarray(pts[i]),
+                jnp.asarray(projs[i]), jnp.asarray(hw[i]))
+            np.testing.assert_allclose(vol[i], np.asarray(ref_vol), atol=1e-5)
+            np.testing.assert_array_equal(seen[i], np.asarray(ref_seen))
