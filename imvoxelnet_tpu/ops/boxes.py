@@ -173,6 +173,61 @@ def points_cam2img(points_3d, proj_mat):
     return pts2[..., :2] / pts2[..., 2:3]
 
 
+def rotate_boxes(boxes, angle, mode: str = 'lidar', points=None):
+    """Rotate ``(N, 7)`` boxes (and optional ``(M, >=3)`` points) in-plane.
+
+    Pure-function twin of the reference's per-mode ``rotate``
+    (``lidar_box3d.py:113-151``, ``cam_box3d.py:168-203``,
+    ``depth_box3d.py:113-157``): xyz multiplied by the mode's ``rot_mat_T``
+    on the right; yaw ``+= angle`` for lidar/cam, ``-= angle`` for depth.
+
+    Returns ``(boxes, points, rot_mat_T)`` (``points`` is None if not given).
+    """
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    if mode == 'lidar':
+        rot_mat_t = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        yaw = boxes[..., 6] + angle
+    elif mode == 'cam':
+        rot_mat_t = jnp.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
+        yaw = boxes[..., 6] + angle
+    elif mode == 'depth':
+        rot_mat_t = jnp.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+        yaw = boxes[..., 6] - angle
+    else:
+        raise ValueError(mode)
+    xyz = boxes[..., :3] @ rot_mat_t
+    out = jnp.concatenate([xyz, boxes[..., 3:6], yaw[..., None]], axis=-1)
+    if points is not None:
+        points = jnp.concatenate(
+            [points[..., :3] @ rot_mat_t, points[..., 3:]], axis=-1)
+    return out, points, rot_mat_t
+
+
+# per-mode BEV flip: (axis negated for 'horizontal', for 'vertical')
+_FLIP_AXES = {'lidar': (1, 0), 'cam': (0, 2), 'depth': (0, 1)}
+
+
+def flip_boxes(boxes, direction: str = 'horizontal', mode: str = 'lidar',
+               points=None):
+    """BEV flip of ``(N, 7)`` boxes (and optional points).
+
+    Parity: per-mode ``flip`` (``lidar_box3d.py:153-186``, ``cam_box3d.py:
+    204-238``, ``depth_box3d.py:159-196``): one coordinate axis negated and
+    ``yaw -> -yaw + pi`` (horizontal) / ``yaw -> -yaw`` (vertical), with no
+    period limiting.
+    """
+    axis = _FLIP_AXES[mode][0 if direction == 'horizontal' else 1]
+    sign = jnp.ones((3,), boxes.dtype).at[axis].set(-1.0)
+    xyz = boxes[..., :3] * sign
+    yaw = -boxes[..., 6] + (PI if direction == 'horizontal' else 0.0)
+    out = jnp.concatenate([xyz, boxes[..., 3:6], yaw[..., None]], axis=-1)
+    if points is not None:
+        points = jnp.concatenate(
+            [points[..., :3] * sign, points[..., 3:]], axis=-1)
+    return out, points
+
+
 def in_range_bev(boxes, box_range):
     """BEV range check (x_min, y_min, x_max, y_max), matches
     ``lidar_box3d.py`` ``in_range_bev`` semantics (strict inequalities)."""

@@ -308,12 +308,29 @@ def convert_layout_head(sd, prefix='head_2d.'):
 # Full model
 # ---------------------------------------------------------------------------
 
-def convert_reference_checkpoint(state_dict, model_cfg):
+class _RecordingDict(dict):
+    """Dict recording every key read — used to prove the converter consumes
+    the complete reference state_dict (guards against naming drift between
+    the released mmdet checkpoints and this converter)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+
+def convert_reference_checkpoint(state_dict, model_cfg, strict=False):
     """Reference ImVoxelNet state_dict -> {'params', 'batch_stats'}.
 
     ``model_cfg`` is an ``ImVoxelNetConfig`` (drives neck/head layout).
+    ``strict=True`` raises if any state_dict entry was not consumed by the
+    conversion (``num_batches_tracked`` counters are exempt — they carry no
+    information the JAX model needs).
     """
-    sd = {k: v for k, v in state_dict.items()}
+    sd = _RecordingDict(state_dict)
     params = {'backbone': convert_resnet50(
         sd, 'backbone.', getattr(model_cfg, 'stage_with_dcn', (False,) * 4)),
               'neck': convert_fpn(sd)}
@@ -342,6 +359,15 @@ def convert_reference_checkpoint(state_dict, model_cfg):
     if model_cfg.layout_head is not None:
         p, _ = convert_layout_head(sd)
         params['head_2d'] = p
+
+    if strict:
+        unused = sorted(
+            k for k in sd
+            if k not in sd.accessed and not k.endswith('num_batches_tracked'))
+        if unused:
+            raise ValueError(
+                f'{len(unused)} state_dict keys not consumed by the '
+                f'converter (naming drift?): {unused[:10]}...')
     return {'params': params, 'batch_stats': stats}
 
 
