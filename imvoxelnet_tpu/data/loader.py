@@ -25,7 +25,9 @@ class DataLoader:
         self.batch_size = batch_size
         self.train = train
         self.seed = seed
-        self.num_workers = num_workers
+        # num_workers=0 means "no parallelism", torch-style; the pool still
+        # needs one thread to run the map
+        self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
 

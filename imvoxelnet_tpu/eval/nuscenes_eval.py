@@ -77,6 +77,187 @@ def simple_nuscenes_ap(gt_annos, dt_annos, dist_thresholds=DIST_THRESHOLDS):
     return results
 
 
+def _angle_diff(a, b, period):
+    """Smallest absolute angle difference under the given period (devkit
+    ``eval/common/utils.py`` ``angle_diff``)."""
+    diff = (a - b + period / 2) % period - period / 2
+    return np.abs(diff)
+
+
+def _scale_err(size_a, size_b):
+    """1 - IoU of the two boxes after aligning centers and yaw (devkit
+    ``scale_iou``): intersection = prod(min(whl)), union inclusion-exclusion."""
+    mins = np.minimum(size_a, size_b)
+    inter = np.prod(mins, axis=-1)
+    union = np.prod(size_a, axis=-1) + np.prod(size_b, axis=-1) - inter
+    return 1.0 - inter / np.maximum(union, 1e-12)
+
+
+def _accumulate(gt_annos, dt_annos, cls, dist_th, yaw_period, n_interp=101):
+    """Devkit ``eval/detection/algo.py:accumulate`` in plain numpy.
+
+    Greedy center-distance matching in global confidence order; returns the
+    101-point interpolated precision plus TP-error curves on the same grid.
+    """
+    npos = sum(int(np.sum(np.asarray(g['labels']) == cls)) for g in gt_annos)
+
+    # flatten predictions of this class across samples
+    preds = []           # (score, sample_idx, box, velocity)
+    for s, dt in enumerate(dt_annos):
+        boxes = np.asarray(dt['boxes'], np.float32).reshape(-1, 7)
+        labels = np.asarray(dt.get('labels', np.zeros(len(boxes), np.int64)))
+        scores = np.asarray(dt.get('scores', np.ones(len(boxes))))
+        vel = np.asarray(dt.get('velocities', np.zeros((len(boxes), 2))))
+        for i in np.nonzero(labels == cls)[0]:
+            preds.append((float(scores[i]), s, boxes[i], vel[i]))
+    preds.sort(key=lambda t: -t[0])
+
+    taken = [np.zeros(int(np.sum(np.asarray(g['labels']) == cls)), bool)
+             for g in gt_annos]
+    gt_cls = []
+    gt_vel_cls = []
+    for g in gt_annos:
+        boxes = np.asarray(g['boxes'], np.float32).reshape(-1, 7)
+        labels = np.asarray(g['labels']).reshape(-1)
+        sel = labels == cls
+        gt_cls.append(boxes[sel])
+        gv = np.asarray(g.get('velocities', np.zeros((len(boxes), 2))))
+        gt_vel_cls.append(gv.reshape(-1, 2)[sel])
+
+    tp, fp, conf = [], [], []
+    match = dict(trans_err=[], scale_err=[], orient_err=[], vel_err=[],
+                 conf=[])
+    for score, s, box, vel in preds:
+        g = gt_cls[s]
+        if len(g):
+            d = np.linalg.norm(g[:, :2] - box[:2], axis=1)
+            d = np.where(taken[s], np.inf, d)
+            j = int(np.argmin(d))
+            is_tp = d[j] < dist_th
+        else:
+            is_tp = False
+        conf.append(score)
+        if is_tp:
+            taken[s][j] = True
+            tp.append(1); fp.append(0)
+            match['trans_err'].append(float(d[j]))
+            match['scale_err'].append(float(_scale_err(box[3:6], g[j, 3:6])))
+            match['orient_err'].append(
+                float(_angle_diff(box[6], g[j, 6], yaw_period)))
+            match['vel_err'].append(
+                float(np.linalg.norm(vel - gt_vel_cls[s][j])))
+            match['conf'].append(score)
+        else:
+            tp.append(0); fp.append(1)
+
+    rec_interp = np.linspace(0, 1, n_interp)
+    if npos == 0 or not tp or not any(tp):
+        zeros = np.zeros(n_interp)
+        return dict(npos=npos, precision=zeros, confidence=zeros,
+                    trans_err=np.ones(n_interp), scale_err=np.ones(n_interp),
+                    orient_err=np.ones(n_interp), vel_err=np.ones(n_interp))
+
+    tp_c = np.cumsum(tp).astype(np.float64)
+    fp_c = np.cumsum(fp).astype(np.float64)
+    prec = tp_c / (tp_c + fp_c)
+    rec = tp_c / npos
+
+    prec_i = np.interp(rec_interp, rec, prec, right=0)
+    conf_i = np.interp(rec_interp, rec, conf, right=0)
+
+    out = dict(npos=npos, precision=prec_i, confidence=conf_i)
+    for key in ('trans_err', 'scale_err', 'orient_err', 'vel_err'):
+        vals = np.asarray(match[key], np.float64)
+        cum = np.cumsum(vals) / (np.arange(len(vals)) + 1)   # cummean
+        # map TP-order curve onto the recall grid through confidence
+        # (devkit accumulate: interp over *descending* confidence)
+        out[key] = np.interp(conf_i[::-1], np.asarray(match['conf'])[::-1],
+                             cum[::-1])[::-1]
+    return out
+
+
+def _calc_ap(md, min_recall=0.1, min_precision=0.1):
+    """Devkit ``calc_ap``: slice indices round(100*min_recall)+1 .. 100."""
+    prec = np.copy(md['precision'])[int(round(100 * min_recall)) + 1:]
+    prec -= min_precision
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - min_precision)
+
+
+def _calc_tp(md, metric, min_recall=0.1):
+    """Devkit ``calc_tp``: mean of the error curve between min_recall and the
+    max achieved recall; 1.0 when no recall beyond min_recall."""
+    first = int(round(100 * min_recall)) + 1
+    nz = np.nonzero(md['confidence'])[0]
+    last = int(nz[-1]) if len(nz) else 0
+    if last < first:
+        return 1.0
+    return float(np.mean(md[metric][first:last + 1]))
+
+
+TP_DIST_TH = 2.0
+YAW_PERIODS = {'barrier': np.pi}    # all other classes: full period
+
+
+def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
+                 dist_thresholds=DIST_THRESHOLDS, with_velocity=False):
+    """Devkit-free nuScenes detection metrics: per-class AP at the four
+    center-distance thresholds, ATE/ASE/AOE (+ATE at velocity when
+    ``with_velocity``), mAP and NDS.
+
+    Parity: ``nuscenes-devkit eval/detection/{algo,evaluate}.py`` as invoked
+    by the reference's ``NuScenesDataset.evaluate``
+    (``mmdet3d/datasets/nuscenes_dataset.py``) after the zero-velocity pad of
+    ``nuscenes_monocular_dataset.py:43-59``.  TP errors are computed at the
+    2 m threshold.  Attribute error is not modeled (the monocular shim fixes
+    attributes), and velocity error is opt-in; NDS renormalizes over the
+    metrics present: ``NDS = (5*mAP + Σ (1 - min(1, err))) / (5 + n_tp)``.
+
+    Args:
+      gt_annos / dt_annos: per-sample dicts with ``boxes (N, 7)``
+        (bottom-center; only x, y, sizes, yaw are used), ``labels (N,)``
+        int class ids into ``classes``; dt also ``scores``; optionally both
+        carry ``velocities (N, 2)``.
+    Returns a flat metric dict (``{cls}_AP_dist_{thr}``, ``{cls}_ATE`` …,
+    ``mAP``, ``NDS``).
+    """
+    results = {}
+    all_aps = []
+    tp_errs = {k: [] for k in ('ATE', 'ASE', 'AOE', 'AVE')}
+    for ci, cls_name in enumerate(classes):
+        period = YAW_PERIODS.get(cls_name, 2 * np.pi)
+        aps = []
+        for thr in dist_thresholds:
+            md = _accumulate(gt_annos, dt_annos, ci, thr, period)
+            ap = _calc_ap(md)
+            results[f'{cls_name}_AP_dist_{thr}'] = ap
+            aps.append(ap)
+            if thr == TP_DIST_TH:
+                results[f'{cls_name}_ATE'] = _calc_tp(md, 'trans_err')
+                results[f'{cls_name}_ASE'] = _calc_tp(md, 'scale_err')
+                results[f'{cls_name}_AOE'] = _calc_tp(md, 'orient_err')
+                tp_errs['ATE'].append(results[f'{cls_name}_ATE'])
+                tp_errs['ASE'].append(results[f'{cls_name}_ASE'])
+                tp_errs['AOE'].append(results[f'{cls_name}_AOE'])
+                if with_velocity:
+                    results[f'{cls_name}_AVE'] = _calc_tp(md, 'vel_err')
+                    tp_errs['AVE'].append(results[f'{cls_name}_AVE'])
+        results[f'{cls_name}_AP'] = float(np.mean(aps))
+        all_aps.extend(aps)
+
+    mean_ap = float(np.mean(all_aps))
+    results['mAP'] = mean_ap
+    tp_names = ['ATE', 'ASE', 'AOE'] + (['AVE'] if with_velocity else [])
+    tp_scores = []
+    for name in tp_names:
+        err = float(np.mean(tp_errs[name]))
+        results[f'm{name}'] = err
+        tp_scores.append(max(0.0, 1.0 - min(1.0, err)))
+    results['NDS'] = float(
+        (5.0 * mean_ap + np.sum(tp_scores)) / (5.0 + len(tp_names)))
+    return results
+
+
 def official_nuscenes_eval(results, data_root, version='v1.0-trainval'):
     """Zero-velocity pad + official devkit eval
     (``nuscenes_monocular_dataset.py:43-59``).  Requires nuscenes-devkit."""

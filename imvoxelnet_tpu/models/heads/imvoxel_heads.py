@@ -52,9 +52,12 @@ class IndoorHeadConfig:
     iou_thr: float = 0.15           # rotated nms_thr (sunrgbd) / aligned iou_thr
     # fixed-size detection output; the reference caps at max_num = nms_pre
     max_out: int = 1000
-    # static per-class candidate cap for the rotated NMS (the reference
-    # processes every candidate above score_thr; the top-256 by score per
-    # class is an intentional, documented truncation of the low-score tail)
+    # static per-class candidate cap for the rotated NMS.  <= 0 selects the
+    # exact shared-IoU-matrix path (``multiclass_nms_3d_exact``) with no
+    # truncation — bit-identical to the reference's box3d_multiclass_nms over
+    # all nms_pre * n_scales candidates; a positive value keeps only the
+    # top-k by score per class (measured divergence documented in
+    # docs/parity.md, tests/test_nms.py::test_truncation_bound)
     pre_nms_k: int = 256
 
     @property
@@ -310,12 +313,22 @@ def indoor_targets(points, scales, regress_ranges, gt_boxes, gt_labels,
 def resize_valid_to_levels(valid, featmap_sizes):
     """Trilinear-resize the (B, nx, ny, nz) validity mask to each level and
     round — parity with ``nn.Upsample(mode='trilinear')(valid).round().bool()``
-    (``imvoxel_head.py:112-114``)."""
+    (``imvoxel_head.py:112-114``).
+
+    ``antialias=False`` is load-bearing: levels 1..S-1 are *down*-scales of the
+    level-0 mask, where jax's default antialiased triangle kernel widens the
+    footprint and diverges from torch's plain trilinear sampling (measured 18%
+    of level-1 voxels flipped on a random mask).  Without antialiasing both
+    libraries sample the same 8-neighbour lerp at half-pixel-centre positions
+    (align_corners=False), and ``round`` is round-half-to-even in both.
+    Pinned against live torch in ``tests/test_valid_resize.py``.
+    """
     out = []
     b = valid.shape[0]
     vf = valid.astype(jnp.float32)
     for size in featmap_sizes:
-        r = jax.image.resize(vf, (b,) + tuple(size), method='linear')
+        r = jax.image.resize(vf, (b,) + tuple(size), method='linear',
+                             antialias=False)
         out.append(jnp.round(r) > 0)
     return out
 
@@ -455,10 +468,16 @@ def indoor_head_get_bboxes(head_outs, valid, origins, cfg: IndoorHeadConfig):
             # rotated multi-class NMS on (x, y, dx, dy) + yaw corners
             bev = jnp.stack([boxes[:, 0], boxes[:, 1], boxes[:, 3],
                              boxes[:, 4], boxes[:, 6]], axis=-1)
-            out = nms_ops.multiclass_nms_3d(
-                boxes, bev, scores, jnp.ones(boxes.shape[0], bool),
-                score_thr=cfg.score_thr, max_num=cfg.max_out,
-                iou_thr=cfg.iou_thr, pre_nms_k=cfg.pre_nms_k)
+            if cfg.pre_nms_k <= 0:
+                out = nms_ops.multiclass_nms_3d_exact(
+                    boxes, bev, scores, jnp.ones(boxes.shape[0], bool),
+                    score_thr=cfg.score_thr, max_num=cfg.max_out,
+                    iou_thr=cfg.iou_thr)
+            else:
+                out = nms_ops.multiclass_nms_3d(
+                    boxes, bev, scores, jnp.ones(boxes.shape[0], bool),
+                    score_thr=cfg.score_thr, max_num=cfg.max_out,
+                    iou_thr=cfg.iou_thr, pre_nms_k=cfg.pre_nms_k)
             out_boxes = box_ops.to_bottom_center(out['boxes'])
             return out_boxes, out['scores'], out['labels'], out['valid']
         else:

@@ -175,6 +175,63 @@ def backproject_batch(features, points, projections, valid_hw):
     return acc.reshape(p, b, c), cnt.reshape(p, b)
 
 
+def backproject_onehot(features, points, projections, valid_hw=None,
+                       block: int = 1024):
+    """Backprojection as one-hot x feature matmuls (MXU formulation).
+
+    The nearest-pixel gather ``out[p] = feat[idx[p]]`` is algebraically
+    ``onehot(idx[p], Hf*Wf) @ feat`` — an MXU matmul instead of a VPU gather.
+    Voxel rows are processed in ``block``-sized tiles (scan) so the one-hot
+    never materialises at full ``(P, Hf*Wf)`` size.
+
+    Cost model (why this is an *experiment*, not the default): the matmul
+    spends ``P * Hf*Wf * C`` MACs to move ``P * C`` values — a factor Hf*Wf
+    (~19.2k indoor) more FLOPs than the gather moves bytes.  Even at full MXU
+    utilisation that is ~2 TFLOP per indoor batch-8 (~10 ms) versus ~2 ms of
+    gather traffic, plus the VPU cost of building the one-hots.  Measured
+    numbers live in docs/performance.md (VERDICT round-1 item 10).
+
+    Same contract as ``backproject``: returns (volume (P, C), seen (P,)).
+    """
+    v, hf, wf, c = features.shape
+    p = points.shape[0]
+    if valid_hw is None:
+        valid_hw = jnp.array([hf, wf], jnp.int32)
+    hw = hf * wf
+    p_pad = -(-p // block) * block
+    pts = jnp.zeros((p_pad, 3), jnp.float32).at[:p].set(points)
+    flat_feats = features.reshape(v, hw, c).astype(jnp.bfloat16)
+
+    def one_view(carry, view):
+        acc, cnt = carry
+        feats, proj = view
+        x, y, z = project_points(pts, proj)
+        valid = ((x >= 0) & (y >= 0) & (x < valid_hw[1]) & (y < valid_hw[0])
+                 & (z > 0))
+        idx = jnp.clip(y, 0, hf - 1) * wf + jnp.clip(x, 0, wf - 1)
+        idx = jnp.where(valid, idx, -1)          # -1 -> all-zero one-hot row
+
+        def one_block(_, blk):
+            bidx, = blk
+            onehot = (bidx[:, None] ==
+                      jnp.arange(hw, dtype=bidx.dtype)[None, :])
+            g = jax.lax.dot(onehot.astype(jnp.bfloat16), feats,
+                            preferred_element_type=jnp.float32)
+            return None, g
+
+        _, gathered = jax.lax.scan(
+            one_block, None, (idx.reshape(-1, block),))
+        gathered = gathered.reshape(p_pad, c)
+        return (acc + gathered, cnt + valid.astype(acc.dtype)), None
+
+    init = (jnp.zeros((p_pad, c), jnp.float32),
+            jnp.zeros((p_pad,), jnp.float32))
+    (acc, cnt), _ = jax.lax.scan(one_view, init, (flat_feats, projections))
+    acc = acc[:p].astype(features.dtype)
+    cnt = cnt[:p].astype(features.dtype)
+    return mean_pool_from_sums(acc, cnt, n_views=v)
+
+
 def backproject(features, points, projections, valid_hw=None):
     """Backproject + multi-view mean-pool, fused.
 

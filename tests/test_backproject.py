@@ -2,6 +2,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from imvoxelnet_tpu.ops import backproject as bp
+from imvoxelnet_tpu.ops.backproject import get_points
 
 
 def test_get_points_matches_reference_formula():
@@ -131,3 +132,29 @@ def test_backproject_batch_matches_per_sample():
                 jnp.asarray(projs[i]), jnp.asarray(hw[i]))
             np.testing.assert_allclose(vol[i], np.asarray(ref_vol), atol=1e-5)
             np.testing.assert_array_equal(seen[i], np.asarray(ref_seen))
+
+
+def test_onehot_matches_gather():
+    """The MXU one-hot formulation must agree with the gather path (bf16
+    feature precision) on a multi-view case with out-of-view voxels."""
+    rng = np.random.RandomState(7)
+    feats = rng.randn(3, 8, 16, 32).astype(np.float32)
+    pts = get_points((10, 12, 4), (0.4, 0.4, 0.4),
+                     np.array([0.0, 0.0, 1.0], np.float32)).reshape(-1, 3)
+    projs = []
+    for i in range(3):
+        k = np.array([[20.0, 0, 8], [0, 20.0, 4], [0, 0, 1]], np.float32)
+        e = np.eye(4, dtype=np.float32)
+        e[0, 3] = 0.3 * i
+        projs.append(k @ e[:3])
+    projs = np.stack(projs)
+
+    vol_ref, seen_ref = bp.backproject(
+        jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(pts),
+        jnp.asarray(projs))
+    vol_oh, seen_oh = bp.backproject_onehot(
+        jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(projs), block=128)
+    np.testing.assert_array_equal(np.asarray(seen_ref), np.asarray(seen_oh))
+    np.testing.assert_allclose(np.asarray(vol_ref, np.float32),
+                               np.asarray(vol_oh, np.float32),
+                               rtol=2e-2, atol=2e-2)

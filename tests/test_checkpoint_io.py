@@ -44,6 +44,62 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(state3.step) == 2
 
 
+def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
+    """Orbax save/restore under the 8-device CPU mesh: save a replicated
+    TrainState mid-epoch, restore into mesh shardings, resume training
+    (VERDICT round-1 item 9)."""
+    from imvoxelnet_tpu.parallel import mesh as mesh_lib
+
+    cfg = _tiny_kitti_cfg()
+    batch = _make_batch(b=8)
+    model = ImVoxelNet(cfg)
+    tx = train_lib.make_optimizer(1e-4, 1e-4, 0.1, 35.0, 10)
+    state = train_lib.create_train_state(model, tx, jax.random.PRNGKey(0),
+                                         batch)
+
+    mesh = mesh_lib.make_mesh()
+    rep = mesh_lib.replicated(mesh)
+    dp = mesh_lib.batch_sharding(mesh)
+    state = jax.device_put(state, rep)
+    step = jax.jit(train_lib.make_train_step(model, tx),
+                   in_shardings=(rep, dp), out_shardings=(rep, rep))
+    sharded_batch = mesh_lib.shard_batch(batch, mesh)
+    state, _ = step(state, sharded_batch)          # mid-epoch
+
+    path = os.path.join(tmp_path, 'latest.orbax')
+    ckpt_lib.save_checkpoint_sharded(
+        path, state, metadata=dict(preset='tiny', epoch=0, iter=1))
+
+    # restore straight into the mesh shardings of a fresh state
+    fresh = train_lib.create_train_state(model, tx, jax.random.PRNGKey(1),
+                                         batch)
+    fresh = jax.device_put(fresh, rep)
+    payload = ckpt_lib.load_checkpoint(path)       # auto-detects orbax dir
+    assert payload['meta'] == dict(preset='tiny', epoch=0, iter=1)
+    assert int(payload['step']) == 1
+
+    payload2 = ckpt_lib.load_checkpoint_sharded(path, abstract_state=fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(payload2['params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert getattr(b, 'sharding', None) == rep or not hasattr(b, 'sharding')
+
+    resumed = fresh.replace(
+        params=payload2['params'], batch_stats=payload2['batch_stats'],
+        opt_state=jax.tree_util.tree_map(
+            lambda _, y: y, fresh.opt_state, payload2['opt_state']),
+        step=payload2['step'])
+    resumed, metrics = step(resumed, sharded_batch)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(resumed.step) == 2
+
+    # overwrite-in-place (the latest.ckpt contract)
+    ckpt_lib.save_checkpoint_sharded(path, resumed,
+                                     metadata=dict(preset='tiny', epoch=0,
+                                                   iter=2))
+    assert int(ckpt_lib.load_checkpoint(path)['step']) == 2
+
+
 def test_multiview_forward():
     """V > 1 exercises the view-scan + per-view extrinsics paths."""
     cfg = _tiny_indoor_cfg('scannet', version=1)

@@ -35,10 +35,30 @@ def main():
     parser.add_argument('--log-interval', type=int, default=50)
     parser.add_argument('--multihost', action='store_true',
                         help='call jax.distributed.initialize() (TPU pods)')
+    parser.add_argument('--val-ann-file', default=None,
+                        help='enable per-epoch validation on this val split '
+                             '(the reference EvalHook: validate=True at '
+                             'tools/train.py:155, evaluation interval=1 at '
+                             'imvoxelnet_kitti.py:153)')
+    parser.add_argument('--val-data-root', default=None,
+                        help='val data root (default: --data-root)')
+    parser.add_argument('--val-interval', type=int, default=1,
+                        help='validate every N epochs')
+    parser.add_argument('--val-batch-size', type=int, default=None)
+    parser.add_argument('--ckpt-format', choices=('pickle', 'orbax'),
+                        default='pickle',
+                        help='orbax = sharded per-host checkpoint IO '
+                             '(multi-host pods); pickle = single-host file')
     args = parser.parse_args()
 
+    os.environ.setdefault(
+        'JAX_COMPILATION_CACHE_DIR',
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.jax_cache'))
     import jax
-    import numpy as np
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     if args.multihost:
         jax.distributed.initialize()
@@ -91,15 +111,22 @@ def main():
         model, tx, jax.random.PRNGKey(args.seed), sample_batch)
 
     start_epoch = 0
-    latest = os.path.join(args.work_dir, 'latest.ckpt')
+    latest = os.path.join(
+        args.work_dir,
+        'latest.ckpt' if args.ckpt_format == 'pickle' else 'latest.orbax')
     resume = args.resume_from or (latest if os.path.exists(latest) else None)
     if resume:
-        payload = ckpt_lib.load_checkpoint(resume)
+        if os.path.isdir(resume):   # orbax: restore with the state's structure
+            payload = ckpt_lib.load_checkpoint_sharded(resume,
+                                                       abstract_state=state)
+            opt_state = payload['opt_state']
+        else:
+            payload = ckpt_lib.load_checkpoint(resume)
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: b, state.opt_state, payload['opt_state'])
         state = state.replace(
             params=payload['params'], batch_stats=payload['batch_stats'],
-            opt_state=jax.tree_util.tree_map(
-                lambda a, b: b, state.opt_state, payload['opt_state']),
-            step=payload['step'])
+            opt_state=opt_state, step=payload['step'])
         start_epoch = payload['meta'].get('epoch', 0)
         print(f'resumed from {resume} at epoch {start_epoch}')
 
@@ -117,6 +144,36 @@ def main():
         tb_writer = SummaryWriter(os.path.join(args.work_dir, 'tb'))
     except Exception:
         pass
+
+    val_dataset = val_loader = val_forward = None
+    if args.val_ann_file:
+        from imvoxelnet_tpu.eval import runner as eval_runner
+        val_dataset, val_loader = eval_runner.build_val_dataset(
+            preset, args.preset, args.val_data_root or args.data_root,
+            args.val_ann_file, num_workers=args.num_workers,
+            batch_size=args.val_batch_size)
+        val_mesh = mesh if n_dev > 1 else None
+        val_forward = eval_runner.make_forward(preset, model, val_mesh)
+        print(f'validation: {len(val_dataset)} samples every '
+              f'{args.val_interval} epoch(s)')
+
+    def run_validation(epoch):
+        from imvoxelnet_tpu.eval import runner as eval_runner
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        results = eval_runner.run_inference(
+            val_forward, variables, val_loader, len(val_dataset.data_infos),
+            mesh if n_dev > 1 else None)
+        metrics = eval_runner.evaluate_results(
+            preset, args.preset, val_dataset, results)
+        line = dict(mode='val', epoch=epoch + 1, step=int(state.step),
+                    **{k: float(v) for k, v in metrics.items()})
+        print(json.dumps(line), flush=True)
+        with open(log_path, 'a') as f:
+            f.write(json.dumps(line) + '\n')
+        if tb_writer is not None:
+            for k, v in metrics.items():
+                tb_writer.add_scalar(f'val/{k}', float(v), int(state.step))
     for epoch in range(start_epoch, epochs):
         t_data = t_step = 0.0
         t0 = time.perf_counter()
@@ -145,11 +202,17 @@ def main():
                 t_step += time.perf_counter() - t1
             t0 = time.perf_counter()
 
-        ckpt_lib.save_checkpoint(
-            latest, jax.device_get(state),
-            metadata=dict(preset=args.preset, classes=list(d.classes),
-                          epoch=epoch + 1))
+        meta = dict(preset=args.preset, classes=list(d.classes),
+                    epoch=epoch + 1)
+        if args.ckpt_format == 'orbax':
+            # sharded save: each host writes its own shards, no device_get
+            ckpt_lib.save_checkpoint_sharded(latest, state, metadata=meta)
+        else:
+            ckpt_lib.save_checkpoint(latest, jax.device_get(state),
+                                     metadata=meta)
         print(f'epoch {epoch + 1}/{epochs} done; checkpoint saved')
+        if val_forward is not None and (epoch + 1) % args.val_interval == 0:
+            run_validation(epoch)
 
 
 if __name__ == '__main__':
