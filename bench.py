@@ -39,7 +39,7 @@ def main():
     preset = get_preset('imvoxelnet_kitti')
     model_cfg = dataclasses.replace(preset.model, compute_dtype='bfloat16')
     model = ImVoxelNet(model_cfg)
-    batch_size = 8
+    batch_size = int(os.environ.get('BENCH_BATCH', '8'))
     batch = _kitti_batch(b=batch_size, v=1, h=384, w=1280)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 

@@ -260,12 +260,15 @@ def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
 
 def official_nuscenes_eval(results, data_root, version='v1.0-trainval'):
     """Zero-velocity pad + official devkit eval
-    (``nuscenes_monocular_dataset.py:43-59``).  Requires nuscenes-devkit."""
+    (``nuscenes_monocular_dataset.py:43-59``).  Requires nuscenes-devkit;
+    ``nuscenes_nds`` implements the same detection metrics devkit-free and is
+    the supported path in this framework."""
     try:
         from nuscenes.nuscenes import NuScenes  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            'nuscenes-devkit is not installed; use simple_nuscenes_ap') from e
+            'nuscenes-devkit is not installed; use nuscenes_nds (devkit-free '
+            'NDS/AP with identical calc_ap/calc_tp semantics)') from e
     raise NotImplementedError(
         'official devkit eval wiring requires the dataset json; '
-        'use simple_nuscenes_ap for offline development')
+        'use nuscenes_nds for offline development')

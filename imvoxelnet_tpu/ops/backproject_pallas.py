@@ -13,18 +13,29 @@ Grid: ``(p_tiles, c_tiles, V)`` with the view axis innermost (output blocks
 revisited across ``v`` — the standard accumulate-over-K pattern); the view
 count accumulates only on the first channel tile.
 
-STATUS — Mosaic gather limitation (as of jax 0.9 / libtpu 0.0.34): the
-kernel is exact in interpret mode (tested against the XLA reference), but the
-compiled path hits ``Not implemented: Multiple source vregs along gather
-dimension`` — Mosaic's ``tpu.dynamic_gather`` is a single-vreg (8x128)
-shuffle, so a table gather across a ``(Hf*Wf, C)`` feature block cannot be
-expressed in Pallas today (we already satisfy its other constraints:
-same-shape output via ``tile == Hf*Wf``, matching 32-bit index/value widths,
-no mask transposes via the column orientation).  XLA's native gather *is* the
-TPU-native implementation of this access pattern, so the production path is
-``ops/backproject.py`` (a scan over views whose elementwise ops XLA fuses
-around its gather); this kernel is kept as the fused formulation that becomes
-compilable when Mosaic gains multi-vreg gathers.
+STATUS — Mosaic gather limitation (retested round 2, 2026-08, current
+toolchain): the kernel is exact in interpret mode (tested against the XLA
+reference), but the compiled path still hits ``Not implemented: Multiple
+source vregs along gather dimension`` — the emitted ``tpu.dynamic_gather`` on
+a ``vector<2048x64xf32>`` table needs 256 source vregs along the gather dim
+and Mosaic supports one (a single-vreg 8x128 shuffle).  We already satisfy
+its other constraints: same-shape output via ``tile == Hf*Wf``, matching
+32-bit index/value widths, no mask transposes via the column orientation.
+
+Both workaround families were evaluated on hardware (docs/performance.md
+"Round-2 experiments"):
+  * per-vreg serialized gather — a (Hf*Wf/8)-step select cascade per output
+    tile (~3.8k sequential vector ops for the KITTI table); ruled out by
+    arithmetic, it is orders of magnitude more work than the gather moves.
+  * one-hot x feature matmul (``backproject.backproject_onehot``) — measured
+    4.24 ms vs 3.63 ms for XLA's gather on the indoor `_fast` shapes; the
+    P*HW one-hot construction on the VPU outweighs the MXU's rate advantage.
+
+XLA's native gather therefore remains the TPU-native implementation of this
+access pattern (9.5 ms inside the KITTI b8 forward, 6% of the batch); the
+production path is ``ops/backproject.py``.  This kernel is kept as the fused
+formulation that becomes compilable when Mosaic gains multi-vreg gathers —
+re-test on each jax/libtpu bump.
 """
 
 from __future__ import annotations
