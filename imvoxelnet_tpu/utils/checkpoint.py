@@ -205,6 +205,16 @@ def convert_imvoxel_neck(sd, channels=(64, 128, 256, 512),
         bp, bs = bn_split(sd, f'{prefix}conv_blocks.{i}.1')
         params[f'out_bn_{i}'] = {'bn': bp}
         stats[f'out_bn_{i}'] = {'bn': bs}
+    # the reference builds one conv_block per encoder channel but its forward
+    # consumes only len(channels)-1 of them (``necks/imvoxelnet.py:78-88``:
+    # the decoder emits 3 scales for 4 channels) — released checkpoints carry
+    # the dead ``conv_blocks.{last}`` weights, so consume-and-drop them
+    dead = f'{prefix}conv_blocks.{len(channels) - 1}'
+    for k in (f'{dead}.0.weight', f'{dead}.0.bias'):
+        if k in sd:
+            sd[k]
+    if f'{dead}.1.weight' in sd:
+        bn_split(sd, f'{dead}.1')
     return params, stats
 
 

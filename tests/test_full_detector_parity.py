@@ -292,3 +292,76 @@ def test_full_indoor_fast_detector_conversion_parity():
             np.testing.assert_allclose(
                 np.asarray(j), t.numpy().transpose(0, 2, 3, 4, 1),
                 rtol=2e-3, atol=2e-3)
+
+
+def test_full_indoor_v1_detector_conversion_parity():
+    """Indoor v1 graph (`imvoxelnet_sunrgbd`): FPN -> ImVoxelNeck (Atlas
+    encoder-decoder, 4 down stages, trilinear decoder) -> v1 head (n_convs=0,
+    so the conv set matches the V2 replica: centerness/reg/cls + per-scale
+    Scale — reference ``imvoxel_head.py:46-63`` with empty towers)."""
+    from test_torch_parity import TorchImVoxelNeck
+
+    fpn_out, n_classes = 8, 2
+    channels = (8, 12, 16, 24)
+    rng = np.random.RandomState(13)
+
+    backbone = TorchResNet50().eval()
+    neck = TorchFPN(out=fpn_out).eval()
+    neck_3d = TorchImVoxelNeck(channels=channels, out=fpn_out).eval()
+    head = TorchIndoorHeadV2(fpn_out, n_classes, 7, 3).eval()
+    for m in (backbone, neck, neck_3d, head):
+        _randomize_bn(m, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    n_voxels = (16, 16, 8)    # must survive three stride-2 stages
+    cfg = ImVoxelNetConfig(
+        n_voxels=n_voxels, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='imvoxel', channels=channels,
+                        out_channels=fpn_out, down_layers=(1, 1, 1, 1),
+                        up_layers=(1, 1, 1)),
+        head_kind='indoor', anchor_head=None,
+        indoor_head=IndoorHeadConfig(
+            n_classes=n_classes, n_reg_outs=7, voxel_size=VOXEL_SIZE,
+            dataset='sunrgbd', version=1, n_convs=0))
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+    (centernesses, bbox_preds, cls_scores), valid, _ = model.apply(
+        variables, batch, train=False)
+
+    with torch.no_grad():
+        t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+        feat = neck(backbone(t_img))[0]
+        volume, t_valid = torch_extract_volume(
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, 1.0,
+            n_voxels, VOXEL_SIZE, (H, W))
+        scales_out = neck_3d(volume[None])
+        t_outs = head(scales_out)
+        # the reference's per-level valid-mask resize (imvoxel_head.py:112-114)
+        t_valids = [
+            tnn.functional.interpolate(
+                t_valid[None].float(), size=s.shape[2:],
+                mode='trilinear', align_corners=False).round().bool()[0, 0]
+            for s, _ in ((scales_out[i], None) for i in range(3))]
+
+    from imvoxelnet_tpu.models.heads.imvoxel_heads import (
+        resize_valid_to_levels)
+    j_valids = resize_valid_to_levels(
+        valid, [tuple(c.shape[1:4]) for c in centernesses])
+
+    assert len(centernesses) == len(t_outs) == 3
+    for lvl, (t_cent, t_reg, t_cls) in enumerate(t_outs):
+        np.testing.assert_array_equal(
+            np.asarray(j_valids[lvl][0]), t_valids[lvl].numpy())
+        for j, t in ((centernesses[lvl], t_cent),
+                     (bbox_preds[lvl], t_reg), (cls_scores[lvl], t_cls)):
+            np.testing.assert_allclose(
+                np.asarray(j), t.numpy().transpose(0, 2, 3, 4, 1),
+                rtol=2e-3, atol=2e-3)
