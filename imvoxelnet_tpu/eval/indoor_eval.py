@@ -128,16 +128,25 @@ def indoor_eval(gt_annos, dt_annos, classes, iou_thrs=(0.25, 0.5)):
             pred[label].setdefault(
                 img_id, (np.zeros((0, 7), np.float32), np.zeros((0,))))
 
+    # reference semantics (``indoor_eval.py:163-199``): the mean runs over
+    # classes with >= 1 GT box in the dataset; a GT class with no predictions
+    # contributes AP = 0 / recall = 0, and predicted-only classes (no GT
+    # anywhere) are excluded entirely
+    gt_classes = sorted(
+        label for label, per_img in gt.items()
+        if any(len(b) for b in per_img.values()))
+
     metrics = {}
     aps = {t: [] for t in iou_thrs}
     recalls = {t: [] for t in iou_thrs}
-    for label in sorted(gt.keys()):
-        if label not in pred:
-            continue
-        results = eval_det_cls(pred[label], gt[label], iou_thrs)
+    for label in gt_classes:
+        name = classes[label]
+        if label in pred:
+            results = eval_det_cls(pred[label], gt[label], iou_thrs)
+        else:
+            results = [(np.zeros(1), np.zeros(1), 0.0) for _ in iou_thrs]
         for t, thr in enumerate(iou_thrs):
             recall, precision, ap = results[t]
-            name = classes[label]
             metrics[f'{name}_AP_{thr:.2f}'] = float(ap)
             aps[thr].append(ap)
             rec = float(recall[-1]) if len(recall) else 0.0

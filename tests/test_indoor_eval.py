@@ -64,3 +64,53 @@ def test_indoor_eval_missed_gt():
     m = indoor_eval(gt_annos, dt_annos, classes, iou_thrs=(0.25,))
     assert abs(m['chair_AP_0.25'] - 0.5) < 1e-6
     assert abs(m['chair_rec_0.25'] - 0.5) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Reference goldens (lifted from /root/reference/tests/test_indoor_eval.py —
+# CUDA-gated there only because box.overlaps calls the GPU kernel; the values
+# are protocol constants)
+# ---------------------------------------------------------------------------
+
+def test_indoor_eval_reference_golden():
+    boxes = np.array([
+        [-2.4089e-03, -3.3174e+00, 4.9438e-01, 2.1668e+00, 2.8431e-01, 1.6506e+00, 0.0],
+        [-3.4269e-01, -2.7565e+00, 2.8144e-02, 6.8554e-01, 9.6854e-01, 6.1755e-01, 0.0],
+        [-3.8320e+00, -1.0646e+00, 1.7074e-01, 2.4981e-01, 4.4708e-01, 6.2538e-01, 0.0],
+        [4.1073e-01, 3.3757e+00, 3.4311e-01, 8.0617e-01, 2.8679e-01, 1.6060e+00, 0.0],
+        [6.1199e-01, -3.1041e+00, 4.1873e-01, 1.2310e+00, 4.0162e-01, 1.7303e+00, 0.0],
+        [-5.9877e-01, -2.6011e+00, 1.1148e+00, 1.5704e-01, 7.5957e-01, 9.6930e-01, 0.0],
+        [2.7462e-01, -3.0088e+00, 6.5231e-02, 8.1208e-01, 4.1861e-01, 3.7339e-01, 0.0],
+        [-1.4704e+00, -2.0024e+00, 2.7479e-01, 1.7888e+00, 1.0566e+00, 1.3704e+00, 0.0],
+        [8.2727e-02, -3.1160e+00, 2.5690e-01, 1.4054e+00, 2.0772e-01, 9.6792e-01, 0.0],
+        [2.6896e+00, 1.9881e+00, 1.1566e+00, 9.9885e-02, 3.5713e-01, 4.5638e-01, 0.0],
+    ], np.float32)
+    det = [dict(
+        boxes=boxes,
+        labels=np.array([0, 1, 2, 2, 0, 3, 1, 2, 3, 2]),
+        scores=np.array([1.7516e-05, 1.0167e-06, 8.4486e-07, 7.1048e-02,
+                         6.4274e-05, 1.5003e-07, 5.8102e-06, 1.9399e-08,
+                         5.3126e-07, 1.8630e-09]))]
+    gt = [dict(boxes=boxes, labels=np.array([0, 1, 2, 0, 0, 3, 1, 3, 3, 2]))]
+    classes = ('cabinet', 'bed', 'chair', 'sofa')
+    m = indoor_eval(gt, det, classes, (0.25, 0.5))
+    assert np.isclose(m['cabinet_AP_0.25'], 0.666667, atol=1e-5)
+    assert np.isclose(m['bed_AP_0.25'], 1.0, atol=1e-5)
+    assert np.isclose(m['chair_AP_0.25'], 0.5, atol=1e-5)
+    assert np.isclose(m['mAP_0.25'], 0.708333, atol=1e-5)
+    assert np.isclose(m['mAR_0.25'], 0.833333, atol=1e-5)
+
+
+def test_indoor_eval_less_classes_reference_golden():
+    det = [dict(boxes=np.array([[1., 1, 1, 1, 1, 1, 1]], np.float32),
+                labels=np.array([0]), scores=np.array([.5])),
+           dict(boxes=np.array([[1., 1, 1, 1, 1, 1, 1]], np.float32),
+                labels=np.array([1]), scores=np.array([.5]))]
+    gt = [dict(boxes=np.array([[0., 0, 0, 1, 1, 1, 1],
+                               [1., 1, 1, 1, 1, 1, 1]], np.float32),
+               labels=np.array([2, 0])),
+          dict(boxes=np.array([[1., 1, 1, 1, 1, 1, 1]], np.float32),
+               labels=np.array([1]))]
+    m = indoor_eval(gt, det, ('cabinet', 'bed', 'chair'), (0.25, 0.5))
+    assert np.isclose(m['mAP_0.25'], 0.666667, atol=1e-5)
+    assert np.isclose(m['mAR_0.25'], 0.666667, atol=1e-5)
