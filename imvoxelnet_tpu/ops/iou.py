@@ -142,9 +142,34 @@ def _points_in_rect(points, rect_corners):
 
 _SLOTS = 8  # rect ∩ rect has at most 8 vertices
 
+# Pallas dispatch: the fused VMEM-resident kernel (``ops/iou_pallas.py``) wins
+# when the pair count amortises its per-call cost — measured 13x at 9M pairs,
+# ~1.4x at 1M, noise-level below (docs/performance.md).  The threshold keeps
+# the KITTI per-class 100x100 matrices (clip cost already negligible there)
+# on the XLA path, while the indoor 256x256-per-class NMS, the exact
+# (untruncated) NMS and large eval matrices take the kernel.  Small problems
+# and every CPU trace (tests, eval harnesses) also keep the XLA path.
+_PALLAS_MIN_PAIRS = 65536
+
+
+def _use_pallas(num_pairs: int) -> bool:
+    import os
+    if os.environ.get('IMVOXELNET_TPU_NO_PALLAS_IOU'):
+        return False
+    if num_pairs < _PALLAS_MIN_PAIRS:
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
 
 def rect_intersection_area(corners1, corners2):
     """Exact intersection area of two rotated rects, differentiable.
+
+    Dispatches to the fused Pallas kernel on TPU for large pair counts (the
+    NMS / eval matrices); the backward pass always differentiates the jnp
+    implementation (``custom_vjp`` below), so gradients are unchanged.
 
     Vectorised sort-free Sutherland–Hodgman clip of rect1 against rect2's
     four edges, in structure-of-arrays layout: every working array is
@@ -161,6 +186,15 @@ def rect_intersection_area(corners1, corners2):
     Returns:
       ``(...,)`` intersection areas.
     """
+    batch = jnp.broadcast_shapes(corners1.shape[:-2], corners2.shape[:-2])
+    num_pairs = int(np.prod(batch)) if batch else 1
+    if _use_pallas(num_pairs):
+        return _rect_intersection_area_hybrid(corners1, corners2)
+    return _rect_intersection_area_jnp(corners1, corners2)
+
+
+def _rect_intersection_area_jnp(corners1, corners2):
+    """The pure-XLA clip (always used for gradients and small/CPU cases)."""
     batch = jnp.broadcast_shapes(corners1.shape[:-2], corners2.shape[:-2])
     c1 = jnp.broadcast_to(corners1, batch + (4, 2)).astype(jnp.float32)
     c2 = jnp.broadcast_to(corners2, batch + (4, 2)).astype(jnp.float32)
@@ -228,6 +262,26 @@ def rect_intersection_area(corners1, corners2):
     area = 0.5 * jnp.abs(jnp.sum(cvx * nvy - cvy * nvx, axis=0))
     area = jnp.where(count > 2, area, 0.0)
     return area.reshape(batch)
+
+
+@jax.custom_vjp
+def _rect_intersection_area_hybrid(corners1, corners2):
+    from . import iou_pallas
+    return iou_pallas.rect_intersection_area_pallas(corners1, corners2)
+
+
+def _hybrid_fwd(corners1, corners2):
+    return _rect_intersection_area_hybrid(corners1, corners2), (corners1,
+                                                                corners2)
+
+
+def _hybrid_bwd(residuals, g):
+    corners1, corners2 = residuals
+    _, vjp = jax.vjp(_rect_intersection_area_jnp, corners1, corners2)
+    return vjp(g)
+
+
+_rect_intersection_area_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2):
