@@ -56,11 +56,16 @@ def rotation_3d_in_axis(points, angles, axis: int = 0):
     s = jnp.sin(angles)
     ones = jnp.ones_like(c)
     zeros = jnp.zeros_like(c)
+    # axis=0/1 matrices reproduce the reference *verbatim*, quirks included
+    # (pinned by tests/test_boxes_golden.py): axis=0 additionally permutes
+    # the output axes (out_x = p_z), and axis=1 rotates with the opposite
+    # sign from axis=2 — upstream conventions the camera-box pipeline
+    # depends on.  Every in-repo hot-path caller uses axis=2.
     if axis == 1:
         rows = [
-            jnp.stack([c, zeros, s], axis=-1),
+            jnp.stack([c, zeros, -s], axis=-1),
             jnp.stack([zeros, ones, zeros], axis=-1),
-            jnp.stack([-s, zeros, c], axis=-1),
+            jnp.stack([s, zeros, c], axis=-1),
         ]
     elif axis in (2, -1):
         rows = [
@@ -70,9 +75,9 @@ def rotation_3d_in_axis(points, angles, axis: int = 0):
         ]
     elif axis == 0:
         rows = [
-            jnp.stack([ones, zeros, zeros], axis=-1),
             jnp.stack([zeros, c, -s], axis=-1),
             jnp.stack([zeros, s, c], axis=-1),
+            jnp.stack([ones, zeros, zeros], axis=-1),
         ]
     else:
         raise ValueError(f'axis should be in [0, 1, 2], got {axis}')

@@ -412,3 +412,65 @@ def test_overlaps_3d_golden():
     got = np.asarray(iou_ops.bbox_overlaps_3d(
         jnp.asarray(boxes1), jnp.asarray(boxes2), mode='iof'))
     np.testing.assert_allclose(got, expected_iof, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Utility-function goldens (test_box3d.py:1197-1262).  Inputs that the
+# reference draws via ``torch.manual_seed(0); torch.rand(...)`` are
+# regenerated with torch (cpu) at test time; expected tensors are the
+# reference's literal constants.
+# ---------------------------------------------------------------------------
+
+def test_rotation_3d_in_axis_x_golden():
+    """axis=0 rotation constants (test_box3d.py:1197-1213)."""
+    points = jnp.asarray([[[-0.4599, -0.0471, 0.0000],
+                           [-0.4599, -0.0471, 1.8433],
+                           [-0.4599, 0.0471, 1.8433]],
+                          [[-0.2555, -0.2683, 0.0000],
+                           [-0.2555, -0.2683, 0.9072],
+                           [-0.2555, 0.2683, 0.9072]]], jnp.float32)
+    angles = jnp.asarray([-np.pi / 10, np.pi / 10], jnp.float32)
+    expected = np.array([[[0.0000, -0.4228, -0.1869],
+                          [1.8433, -0.4228, -0.1869],
+                          [1.8433, -0.4519, -0.0973]],
+                         [[0.0000, -0.3259, -0.1762],
+                          [0.9072, -0.3259, -0.1762],
+                          [0.9072, -0.1601, 0.3341]]], np.float32)
+    got = np.asarray(box_ops.rotation_3d_in_axis(points, angles, axis=0))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_limit_period_golden():
+    """limit_period on torch.manual_seed(0) draws (test_box3d.py:1215-1221)."""
+    import torch
+    torch.manual_seed(0)
+    val = torch.rand([5, 1]).numpy()
+    expected = np.array([[0.4963], [0.7682], [0.0885], [0.1320], [0.3074]],
+                        np.float32)
+    got = np.asarray(box_ops.limit_period(jnp.asarray(val)))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_xywhr2xyxyr_golden():
+    """(test_box3d.py:1224-1232)."""
+    xywhr = jnp.asarray([[1., 2., 3., 4., 5.], [0., 1., 2., 3., 4.]],
+                        jnp.float32)
+    expected = np.array([[-0.5000, 0.0000, 2.5000, 4.0000, 5.0000],
+                         [-1.0000, -0.5000, 1.0000, 2.5000, 4.0000]],
+                        np.float32)
+    got = np.asarray(box_ops.xywhr2xyxyr(xywhr))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_points_cam2img_golden():
+    """Projective division constants (test_box3d.py:1253-1262)."""
+    import torch
+    torch.manual_seed(0)
+    points = torch.rand([5, 3]).numpy()
+    proj_mat = torch.rand([4, 4]).numpy()
+    expected = np.array([[0.5832, 0.6496], [0.6146, 0.7910],
+                         [0.6994, 0.7782], [0.5623, 0.6303],
+                         [0.4359, 0.6532]], np.float32)
+    got = np.asarray(box_ops.points_cam2img(jnp.asarray(points),
+                                            jnp.asarray(proj_mat)))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
