@@ -97,9 +97,18 @@ def process_image(img: np.ndarray, cfg: ImagePipelineConfig, train: bool,
 
     img = imresize(img, factor)
     img_shape = img.shape[:2]
-    img = normalize(img)
     pad_size = (cfg.train_pad_size or cfg.pad_size) if train else cfg.pad_size
-    img = pad_to(img, pad_size)
+    # fused native normalize+pad (single u8->f32 pass, GIL released); the
+    # numpy pair below is the bit-identical fallback
+    fused = None
+    if img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3:
+        from .. import native
+        fused = native.normalize_pad_u8(img, IMAGENET_MEAN, IMAGENET_STD,
+                                        pad_size)
+    if fused is not None:
+        img = fused
+    else:
+        img = pad_to(normalize(img), pad_size)
     info = dict(ori_shape=ori_shape, img_shape=img_shape,
                 scale_factor=factor, flip=flip)
     return img, info

@@ -104,3 +104,58 @@ def rotated_nms_host(boxes_xywhr, scores, iou_thr):
     lib.rotated_nms_host(_ptr(b), _ptr(s), len(b), float(iou_thr),
                          _ptr(keep, ctypes.c_uint8))
     return keep.astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Fused image preprocessing (image_ops.cc) — data-loader hot path
+# ---------------------------------------------------------------------------
+
+_IMG_SRC = os.path.join(_DIR, 'image_ops.cc')
+_IMG_SO = os.path.join(_DIR, 'image_ops.so')
+
+_img_lib = None
+_img_tried = False
+
+
+def load_image_ops():
+    global _img_lib, _img_tried
+    if _img_lib is not None or _img_tried:
+        return _img_lib
+    _img_tried = True
+    try:
+        if (not os.path.exists(_IMG_SO)
+                or os.path.getmtime(_IMG_SO) < os.path.getmtime(_IMG_SRC)):
+            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                            _IMG_SRC, '-o', _IMG_SO],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_IMG_SO)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    lib.normalize_pad_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64]
+    _img_lib = lib
+    return _img_lib
+
+
+def normalize_pad_u8(img_u8, mean, std, pad_hw):
+    """Fused (u8 -> normalized f32, zero-padded) single pass, or None.
+
+    Returns None when the native library is unavailable — callers fall back
+    to the numpy normalize+pad pair (bit-identical results either way).
+    """
+    lib = load_image_ops()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img_u8, np.uint8)
+    h, w = img.shape[:2]
+    ph, pw = pad_hw
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    out = np.empty((ph, pw, 3), np.float32)
+    lib.normalize_pad_u8(_ptr(img, ctypes.c_uint8), h, w,
+                         _ptr(mean, ctypes.c_float),
+                         _ptr(std, ctypes.c_float),
+                         _ptr(out, ctypes.c_float), ph, pw)
+    return out

@@ -72,3 +72,46 @@ def test_native_nms_matches_numpy_greedy():
     keep_jax = np.asarray(nms_ops.greedy_nms_from_iou(
         iou, jnp.asarray(scores, jnp.float32), jnp.ones(n, bool), 0.3))
     np.testing.assert_array_equal(keep_native, keep_jax)
+
+
+def test_fused_normalize_pad_bit_parity():
+    """image_ops.cc single-pass == numpy normalize+pad, bit-exact."""
+    import pytest
+
+    from imvoxelnet_tpu.data import pipeline as pl
+
+    if native.load_image_ops() is None:
+        pytest.skip('no compiler available')
+
+    rng = np.random.RandomState(0)
+    for (h, w), (ph, pw) in [((96, 320), (96, 320)),   # no padding
+                             ((93, 317), (96, 320)),   # right+bottom pad
+                             ((1, 1), (8, 8))]:        # degenerate
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        fused = native.normalize_pad_u8(img, pl.IMAGENET_MEAN,
+                                        pl.IMAGENET_STD, (ph, pw))
+        ref = pl.pad_to(pl.normalize(img), (ph, pw))
+        assert fused.dtype == np.float32
+        np.testing.assert_array_equal(fused, ref.astype(np.float32))
+
+
+def test_process_image_uses_identical_values_with_and_without_native():
+    """The pipeline output is invariant to the native fast path."""
+    from imvoxelnet_tpu.data import pipeline as pl
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (100, 330, 3), np.uint8)
+    cfg = pl.ImagePipelineConfig(test_scale=(320, 96), pad_size=(96, 320))
+    out_a, info_a = pl.process_image(img, cfg, train=False,
+                                     rng=np.random.RandomState(0))
+    # force the numpy fallback by monkeypatching the native entry
+    orig = native.normalize_pad_u8
+    try:
+        native.normalize_pad_u8 = lambda *a, **k: None
+        out_b, info_b = pl.process_image(img, cfg, train=False,
+                                         rng=np.random.RandomState(0))
+    finally:
+        native.normalize_pad_u8 = orig
+    assert info_a == info_b
+    np.testing.assert_array_equal(out_a.astype(np.float32),
+                                  out_b.astype(np.float32))
