@@ -21,9 +21,19 @@ _lib = None
 _tried = False
 
 
-def _build():
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+def _build_and_load(src, so):
+    """Compile (atomically: tmp + rename, safe under concurrent loaders) and
+    CDLL a C ABI shared object; None when no compiler is available."""
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            tmp = f'{so}.{os.getpid()}.tmp'
+            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                            src, '-o', tmp], check=True, capture_output=True)
+            os.replace(tmp, so)  # atomic on POSIX — never a truncated .so
+        return ctypes.CDLL(so)
+    except (OSError, subprocess.CalledProcessError):
+        return None
 
 
 def load():
@@ -31,12 +41,8 @@ def load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
-    except (OSError, subprocess.CalledProcessError):
+    lib = _build_and_load(_SRC, _SO)
+    if lib is None:
         return None
 
     lib.rect_intersection_areas.argtypes = [
@@ -122,14 +128,8 @@ def load_image_ops():
     if _img_lib is not None or _img_tried:
         return _img_lib
     _img_tried = True
-    try:
-        if (not os.path.exists(_IMG_SO)
-                or os.path.getmtime(_IMG_SO) < os.path.getmtime(_IMG_SRC)):
-            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                            _IMG_SRC, '-o', _IMG_SO],
-                           check=True, capture_output=True)
-        lib = ctypes.CDLL(_IMG_SO)
-    except (OSError, subprocess.CalledProcessError):
+    lib = _build_and_load(_IMG_SRC, _IMG_SO)
+    if lib is None:
         return None
     lib.normalize_pad_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -151,6 +151,10 @@ def normalize_pad_u8(img_u8, mean, std, pad_hw):
     img = np.ascontiguousarray(img_u8, np.uint8)
     h, w = img.shape[:2]
     ph, pw = pad_hw
+    if h > ph or w > pw:
+        # preserve pad_to's invariant: fall back so the numpy path raises its
+        # loud AssertionError instead of the C kernel writing out of bounds
+        return None
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
     out = np.empty((ph, pw, 3), np.float32)

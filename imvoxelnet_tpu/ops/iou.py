@@ -154,7 +154,8 @@ _PALLAS_MIN_PAIRS = 65536
 
 def _use_pallas(num_pairs: int) -> bool:
     import os
-    if os.environ.get('IMVOXELNET_TPU_NO_PALLAS_IOU'):
+    flag = os.environ.get('IMVOXELNET_TPU_NO_PALLAS_IOU', '').lower()
+    if flag not in ('', '0', 'false', 'no'):
         return False
     if num_pairs < _PALLAS_MIN_PAIRS:
         return False
@@ -266,13 +267,19 @@ def _rect_intersection_area_jnp(corners1, corners2):
 
 @jax.custom_vjp
 def _rect_intersection_area_hybrid(corners1, corners2):
+    # primal (undifferentiated) trace — the inference NMS / eval matrices
     from . import iou_pallas
     return iou_pallas.rect_intersection_area_pallas(corners1, corners2)
 
 
 def _hybrid_fwd(corners1, corners2):
-    return _rect_intersection_area_hybrid(corners1, corners2), (corners1,
-                                                                corners2)
+    # differentiated traces never touch the kernel: the jnp clip is
+    # bit-identical and lets XLA share residuals with the backward pass
+    # (running Pallas here would just force a second full forward in _bwd).
+    # Note: as a custom_vjp, forward-mode AD (jvp/jacfwd) of the >= 65536-pair
+    # TPU path is unsupported — set IMVOXELNET_TPU_NO_PALLAS_IOU=1 for that.
+    return _rect_intersection_area_jnp(corners1, corners2), (corners1,
+                                                             corners2)
 
 
 def _hybrid_bwd(residuals, g):

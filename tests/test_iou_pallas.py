@@ -95,3 +95,41 @@ def test_dispatch_gating():
         jax.default_backend() == 'tpu'
     # small problems always stay on the XLA path
     assert not iou_ops._use_pallas(16)
+
+
+def test_dispatch_env_flag_spelling():
+    """NO_PALLAS_IOU=0/false means 'not disabled' (flag is a negation)."""
+    import os
+    for off_spelling in ('0', 'false', 'no', ''):
+        os.environ['IMVOXELNET_TPU_NO_PALLAS_IOU'] = off_spelling
+        try:
+            # CPU backend still gates to False; assert the flag itself does
+            # not force-disable by checking the disabled spellings differ
+            enabled = iou_ops._use_pallas(1 << 20)
+            os.environ['IMVOXELNET_TPU_NO_PALLAS_IOU'] = '1'
+            assert iou_ops._use_pallas(1 << 20) is False
+            if jax.default_backend() == 'tpu':
+                assert enabled
+        finally:
+            del os.environ['IMVOXELNET_TPU_NO_PALLAS_IOU']
+
+
+def test_pallas_clip_compiled_parity_on_tpu():
+    """Mosaic-compiled kernel vs the XLA clip on real hardware.
+
+    Skipped on the CPU mesh (interpret mode is covered above); on a TPU
+    backend this pins the compiled lowering — the hardware microbench
+    (tools/bench_iou_kernel.py) showed bit-matching sums, this automates it.
+    """
+    if jax.default_backend() != 'tpu':
+        pytest.skip('needs a TPU backend')
+    rng = np.random.RandomState(3)
+    b1 = _random_rects(rng, 300)
+    b2 = _random_rects(rng, 300)
+    c1 = box_ops.bev_corners(jnp.asarray(b1))
+    c2 = box_ops.bev_corners(jnp.asarray(b2))
+    ref = iou_ops._rect_intersection_area_jnp(c1[:, None], c2[None, :])
+    got = rect_intersection_area_pallas(c1[:, None], c2[None, :],
+                                        interpret=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -115,3 +115,18 @@ def test_process_image_uses_identical_values_with_and_without_native():
     assert info_a == info_b
     np.testing.assert_array_equal(out_a.astype(np.float32),
                                   out_b.astype(np.float32))
+
+
+def test_fused_normalize_pad_rejects_oversize_image():
+    """Oversize inputs fall back (None) so pad_to's assert stays loud."""
+    import pytest
+
+    from imvoxelnet_tpu.data import pipeline as pl
+
+    if native.load_image_ops() is None:
+        pytest.skip('no compiler available')
+    img = np.zeros((100, 100, 3), np.uint8)
+    assert native.normalize_pad_u8(img, pl.IMAGENET_MEAN, pl.IMAGENET_STD,
+                                   (96, 320)) is None
+    assert native.normalize_pad_u8(img, pl.IMAGENET_MEAN, pl.IMAGENET_STD,
+                                   (320, 96)) is None
