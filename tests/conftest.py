@@ -14,12 +14,16 @@ redirects JAX to CPU before first use.
 
 import os
 
-os.environ['JAX_PLATFORMS'] = 'cpu'
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+# IMVOXELNET_TPU_TEST_TPU=1 leaves the axon TPU backend active so the
+# hardware-gated tests (e.g. the compiled Pallas parity check) can run:
+#   IMVOXELNET_TPU_TEST_TPU=1 python -m pytest tests/test_iou_pallas.py -k tpu
+if os.environ.get('IMVOXELNET_TPU_TEST_TPU') != '1':
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_platforms', 'cpu')
