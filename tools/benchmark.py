@@ -25,6 +25,9 @@ def main():
                         help='benchmark the training step instead of forward')
     parser.add_argument('--trace', default=None,
                         help='directory for a jax.profiler trace')
+    parser.add_argument('--exact-nms', action='store_true',
+                        help='indoor presets: pre_nms_k=0 (exact untruncated '
+                             'shared-IoU-matrix NMS; docs/performance.md)')
     args = parser.parse_args()
 
     import dataclasses
@@ -42,6 +45,12 @@ def main():
 
     preset = get_preset(args.preset)
     cfg = dataclasses.replace(preset.model, compute_dtype=args.dtype)
+    if args.exact_nms:
+        if cfg.indoor_head is None:
+            parser.error('--exact-nms requires an indoor-head preset')
+        cfg = dataclasses.replace(
+            cfg, indoor_head=dataclasses.replace(cfg.indoor_head,
+                                                 pre_nms_k=0))
     model = ImVoxelNet(cfg)
     w, h = preset.data.test_size
     batch = _kitti_batch(args.batch_size, preset.data.n_images_test, h, w,
