@@ -76,7 +76,10 @@ class DeformConv2d(nn.Module):
             vals = bilinear_sample(feat.astype(jnp.float32), sx, sy)
             return vals * m[..., None]                       # (oh, ow, 9, C)
 
-        sampled = jax.vmap(sample_image)(x, offset, mask)    # (B, oh, ow, 9, C)
+        # remat: the (B, oh, ow, 9, C) f32 sampling temps (9-tap dim pads
+        # 1.8x under TPU tiling) OOM the nuScenes train step if stored for
+        # the backward; recomputing them is cheap next to the matmul
+        sampled = jax.checkpoint(jax.vmap(sample_image))(x, offset, mask)
         sampled = sampled.reshape(b, oh, ow, k * c).astype(self.dtype)
         kernel = self.param(
             'kernel', nn.initializers.he_normal(), (3, 3, c, self.features))
