@@ -76,7 +76,8 @@ class Preset:
 def _indoor_model(n_classes, fast: bool, topk: int, n_voxels, voxel_size,
                   dataset: str, layout: bool = False,
                   score_thr: float = 0.05, fast_score_thr: float = 0.0,
-                  fast_iou_thr: float = 0.15) -> ImVoxelNetConfig:
+                  fast_iou_thr: float = 0.15,
+                  regress_ranges=None) -> ImVoxelNetConfig:
     if fast:
         neck = NeckConfig(kind='fast', in_channels=256, out_channels=128,
                           n_blocks=(1, 1, 1))
@@ -90,12 +91,14 @@ def _indoor_model(n_classes, fast: bool, topk: int, n_voxels, voxel_size,
         neck = NeckConfig(kind='imvoxel', channels=(64, 128, 256, 512),
                           out_channels=64, down_layers=(1, 2, 3, 4),
                           up_layers=(3, 2, 1))
+        extra = {} if regress_ranges is None else dict(
+            regress_ranges=regress_ranges)
         head = IndoorHeadConfig(
             n_classes=n_classes, n_reg_outs=7 if dataset == 'sunrgbd' else 6,
             voxel_size=voxel_size, dataset=dataset, version=1, n_convs=0,
             centerness_topk=topk,
             nms_pre=1000, score_thr=(0.0 if topk > 0 else score_thr),
-            iou_thr=0.15)
+            iou_thr=0.15, **extra)
         fpn_out = 64
     return ImVoxelNetConfig(
         n_voxels=n_voxels, voxel_size=voxel_size, fpn_out_channels=fpn_out,
@@ -103,11 +106,20 @@ def _indoor_model(n_classes, fast: bool, topk: int, n_voxels, voxel_size,
         layout_head=LayoutHeadConfig() if layout else None)
 
 
-def _sunrgbd_family(prefix, classes, layout=False, fast_score_thr=0.0):
-    """v1 / top27 / fast triple for a SUN RGB-D benchmark."""
+def _sunrgbd_family(prefix, classes, layout=False, fast_score_thr=0.0,
+                    repeat_times=2, top27_regress_ranges=None):
+    """v1 / top27 / fast triple for a SUN RGB-D benchmark.
+
+    ``repeat_times``: 2 for the votenet/perspective benchmarks
+    (``imvoxelnet_sunrgbd.py:76``), 1 for Total3D
+    (``imvoxelnet_total_sunrgbd.py:85``).  ``top27_regress_ranges``: the
+    Total3D _top27 config overrides the head's regress ranges
+    (``imvoxelnet_total_sunrgbd_top27.py:39``).
+    """
     presets = {}
     common = dict(dataset='sunrgbd', classes=classes, samples_per_device=4,
-                  repeat_times=2, train_size=(768, 576), test_size=(640, 480),
+                  repeat_times=repeat_times,
+                  train_size=(768, 576), test_size=(640, 480),
                   train_scales=((512, 384), (768, 576)),
                   flip_ratio=0.0 if layout else 0.5,
                   max_gt=64)
@@ -118,9 +130,11 @@ def _sunrgbd_family(prefix, classes, layout=False, fast_score_thr=0.0):
         name = prefix + suffix
         presets[name] = Preset(
             name=name,
-            model=_indoor_model(len(classes), fast, topk, nvox, vsize,
-                                'sunrgbd', layout=layout,
-                                fast_score_thr=fast_score_thr),
+            model=_indoor_model(
+                len(classes), fast, topk, nvox, vsize,
+                'sunrgbd', layout=layout, fast_score_thr=fast_score_thr,
+                regress_ranges=(top27_regress_ranges
+                                if suffix == '_top27' else None)),
             data=DataConfig(**common))
     return presets
 
@@ -182,13 +196,16 @@ def build_presets():
     presets.update(_sunrgbd_family('imvoxelnet_perspective_sunrgbd',
                                    SUNRGBD_PERSPECTIVE_CLASSES,
                                    fast_score_thr=0.01))
-    presets.update(_sunrgbd_family('imvoxelnet_total_sunrgbd',
-                                   TOTAL_SUNRGBD_CLASSES, layout=True))
+    presets.update(_sunrgbd_family(
+        'imvoxelnet_total_sunrgbd', TOTAL_SUNRGBD_CLASSES, layout=True,
+        repeat_times=1,
+        top27_regress_ranges=((-1e8, .6), (.4, 1.1), (0.9, 1e8))))
 
     # --- ScanNet multi-view (imvoxelnet_scannet.py + variants)
+    # repeat_times=3: imvoxelnet_scannet.py:81 (same for _top27/_fast)
     scan_common = dict(dataset='scannet', classes=SCANNET_CLASSES,
                        n_images_train=20, n_images_test=50,
-                       samples_per_device=1, repeat_times=1,
+                       samples_per_device=1, repeat_times=3,
                        train_size=(640, 480), test_size=(640, 480),
                        max_gt=64)
     for suffix, fast, topk, nvox, vsize in (

@@ -364,6 +364,8 @@ class NuScenesMultiViewDataset(BaseMultiViewDataset):
 
     CAMERAS = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
                'CAM_BACK_LEFT', 'CAM_BACK_RIGHT')
+    # imvoxelnet_nuscenes.py:73 — midpoint origin (0, 0, -1) via KittiSetOrigin
+    POINT_CLOUD_RANGE = (-49.92, -49.92, -2.92, 49.92, 49.92, 0.92)
 
     def __init__(self, data_root, ann_file, *args, **kwargs):
         super().__init__(data_root, ann_file, *args, **kwargs)
@@ -407,6 +409,16 @@ class NuScenesMultiViewDataset(BaseMultiViewDataset):
         keep = names == 'car'
         labels = np.zeros(int(keep.sum()), np.int64)
         return dict(gt_bboxes_3d=boxes[keep], gt_labels_3d=labels)
+
+    def post_geometry(self, sample, ann, info, train, rng):
+        """ObjectRangeFilter + KittiSetOrigin, matching the reference train and
+        test pipelines (``imvoxelnet_nuscenes.py:95-96`` train, ``:105`` test;
+        ``pipelines/multi_view.py:46-53``)."""
+        if ann is not None:
+            ann['gt_bboxes_3d'], ann['gt_labels_3d'] = pl.object_range_filter(
+                ann['gt_bboxes_3d'], ann['gt_labels_3d'],
+                self.POINT_CLOUD_RANGE)
+        sample['origin'] = pl.kitti_set_origin(self.POINT_CLOUD_RANGE)
 
 
 class CBGSDataset:

@@ -179,6 +179,64 @@ def test_scannet_dataset_multiview(scannet_root):
     assert np.allclose(s_train['origin'][2], 0.5)
 
 
+@pytest.fixture()
+def nuscenes_root(tmp_path):
+    root = str(tmp_path / 'nuscenes')
+    cams = {}
+    for i, cam in enumerate(ds.NuScenesMultiViewDataset.CAMERAS):
+        path = f'samples/{cam}/0.jpg'
+        _write_png(os.path.join(root, path), 900, 1600, seed=i)
+        theta = i * np.pi / 3
+        rot = np.array([[np.cos(theta), -np.sin(theta), 0],
+                        [np.sin(theta), np.cos(theta), 0],
+                        [0, 0, 1]])
+        cams[cam] = dict(
+            data_path=path,
+            cam_intrinsic=np.array([[1266.0, 0, 800.0],
+                                    [0, 1266.0, 450.0], [0, 0, 1.0]]),
+            sensor2lidar_rotation=rot,
+            sensor2lidar_translation=np.array([0.1 * i, 0.0, 1.5]),
+        )
+    infos = dict(infos=[dict(
+        cams=cams,
+        gt_boxes=np.array([
+            [10.0, 5.0, 0.0, 1.9, 4.6, 1.7, 0.3],     # in range
+            [80.0, 5.0, 0.0, 1.9, 4.6, 1.7, 0.3],     # x > 49.92 -> dropped
+            [10.0, -70.0, 0.0, 1.9, 4.6, 1.7, 0.3],   # y < -49.92 -> dropped
+        ], np.float32),
+        gt_names=np.array(['car', 'car', 'car']),
+        num_lidar_pts=np.array([10, 10, 10]),
+    )], metadata=dict(version='v1.0-mini'))
+    with open(os.path.join(root, 'infos.pkl'), 'wb') as f:
+        pickle.dump(infos, f)
+    return root
+
+
+def test_nuscenes_origin_and_range_filter(nuscenes_root):
+    """Reference pipeline parity (``imvoxelnet_nuscenes.py:95-96,108``):
+    KittiSetOrigin on point_cloud_range [-49.92,-49.92,-2.92,49.92,49.92,.92]
+    -> origin = midpoint = (0, 0, -1); ObjectRangeFilter drops GT whose BEV
+    center falls outside the range."""
+    img_cfg = pl.ImagePipelineConfig(test_scale=(1600, 900),
+                                     pad_size=(928, 1600))
+    d = ds.NuScenesMultiViewDataset(
+        nuscenes_root, os.path.join(nuscenes_root, 'infos.pkl'),
+        ('car',), img_cfg, n_images=6, max_gt=8)
+    s = d.get_sample(0, train=True, rng=np.random.RandomState(0))
+    # origin derived from the reference config's point_cloud_range constants
+    pcr = np.array([-49.92, -49.92, -2.92, 49.92, 49.92, 0.92])
+    expected_origin = (pcr[:3] + pcr[3:]) / 2
+    np.testing.assert_allclose(expected_origin, [0, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(s['origin'], expected_origin, atol=1e-6)
+    # ObjectRangeFilter: only the in-range box survives
+    assert s['gt_mask'].sum() == 1
+    np.testing.assert_allclose(s['gt_boxes'][0, :2], [10.0, 5.0], atol=1e-6)
+    assert s['images'].shape == (6, 928, 1600, 3)
+    assert s['extrinsics'].shape == (6, 4, 4)
+    # identity intrinsic: the full lidar2img lives in the extrinsics
+    np.testing.assert_allclose(s['intrinsics'], np.eye(3), atol=1e-6)
+
+
 def test_kitti_stereo_dataset(kitti_root):
     import shutil
     # synthesize the image_3 twin
