@@ -112,8 +112,17 @@ def anchor3d_head_loss(head_outs, gt_boxes, gt_labels, gt_mask,
                        cfg: Anchor3DHeadConfig,
                        axis_name: Optional[str] = None):
     """Batch loss.  Parity: ``Anchor3DHead.loss/loss_single``
-    (``anchor3d_head.py:194-373``); ``num_total_samples`` is the local batch's
-    positive count (the reference does not all-reduce it)."""
+    (``anchor3d_head.py:194-373``); ``num_total_samples`` is the batch's
+    positive count ``sum_i max(n_pos_i, 1)`` (``train_mixins.py:80-84``).
+
+    DP normalization semantics (documented divergence): under GSPMD this
+    function sees the GLOBAL batch, so losses normalize by the global
+    positive count; the reference's DDP normalizes per rank and then
+    averages the rank losses.  The two weightings differ whenever ranks
+    carry unequal ``n_pos`` (global weighting is the less noisy estimator —
+    every positive contributes equally regardless of which rank drew it).
+    At world size 1, and in ``tests/test_loss_parity.py``'s single-process
+    setting, they coincide exactly."""
     cls_score, bbox_pred, dir_pred = head_outs
     b, h, w, _ = cls_score.shape
     anchors = head_anchors((h, w), cfg)                    # (N, 7)

@@ -386,24 +386,25 @@ def indoor_head_loss(head_outs, valid, origins, gt_boxes, gt_labels, gt_mask,
         flat_center, flat_bbox, flat_cls, flat_valid, origins,
         gt_boxes, gt_labels, gt_mask)
 
+    # Per-image positive count: the reference's ``_loss_single`` computes
+    # ``n_pos = max(reduce_mean(len(pos_inds)), 1)`` *per image*
+    # (``imvoxel_head.py:196-197``) — ``reduce_mean`` averages across DDP
+    # ranks at the same within-batch slot and is the identity at world=1.
+    # ``axis_name`` (shard_map DP) reproduces the cross-rank mean exactly.
     n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)         # (B,)
     if axis_name is not None:
-        n_pos_mean = jax.lax.pmean(jnp.mean(n_pos), axis_name)
-    else:
-        n_pos_mean = jnp.mean(n_pos)
-    n_pos_avg = jnp.maximum(n_pos_mean, 1.0)
-
-    b = flat_cls.shape[0]
+        n_pos = jax.lax.pmean(n_pos, axis_name)
+    n_pos_avg = jnp.maximum(n_pos, 1.0)                      # (B,)
 
     def sample_losses(cls, labels_s, valid_b, center, centerness_ts, pos_s,
-                      pred_box, bbox_ts):
+                      pred_box, bbox_ts, n_pos_s):
         cls_labels = jnp.where(labels_s >= 0, labels_s, cfg.n_classes)
         loss_cls = loss_ops.sigmoid_focal_loss(
             cls, cls_labels, weight=valid_b.astype(jnp.float32),
-            avg_factor=n_pos_avg)
+            avg_factor=n_pos_s)
         posf = pos_s.astype(jnp.float32)
         loss_center = loss_ops.binary_cross_entropy(
-            center, centerness_ts, weight=posf, avg_factor=n_pos_avg)
+            center, centerness_ts, weight=posf, avg_factor=n_pos_s)
         w = centerness_ts * posf
         if cfg.dataset == 'sunrgbd':
             gc_pred = pred_box
@@ -417,7 +418,7 @@ def indoor_head_loss(head_outs, valid, origins, gt_boxes, gt_labels, gt_mask,
 
     lc, lb, lcls = jax.vmap(sample_losses)(
         flat_cls, labels_t, flat_valid, flat_center, centerness_t, pos,
-        pred_boxes, bbox_t)
+        pred_boxes, bbox_t, n_pos_avg)
     return dict(
         loss_centerness=jnp.mean(lc),
         loss_bbox=jnp.mean(lb),

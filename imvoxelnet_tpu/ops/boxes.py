@@ -158,7 +158,15 @@ def corners(boxes):
 
 
 def bev_corners(boxes_xywhr):
-    """4 BEV corners of rotated rects ``(N, 4, 2)`` in CCW order."""
+    """4 BEV corners of rotated rects ``(N, 4, 2)`` in CCW order.
+
+    Yaw convention: ``rotation_3d_in_axis`` / the iou3d CUDA kernel
+    (``boxes_overlap_bev_gpu``) — the reference's box structures, NMS and
+    ``BaseInstance3DBoxes.overlaps`` all rotate this way (pinned by the
+    lifted IoU goldens in ``tests/test_boxes_golden.py:test_overlaps_3d_golden``).
+    The rotated-IoU *loss* extension rotates the other way — see
+    :func:`bev_corners_loss`.
+    """
     x, y, w, h, r = (boxes_xywhr[..., i] for i in range(5))
     # template corners in CCW order
     tx = jnp.stack([w / 2, -w / 2, -w / 2, w / 2], axis=-1)
@@ -167,6 +175,25 @@ def bev_corners(boxes_xywhr):
     # row-vector rotation: (tx, ty) @ [[c, -s], [s, c]]
     rx = tx * c + ty * s
     ry = -tx * s + ty * c
+    return jnp.stack([rx + x[..., None], ry + y[..., None]], axis=-1)
+
+
+def bev_corners_loss(boxes_xywhr):
+    """4 BEV corners in the rotated-IoU *loss* extension's yaw convention.
+
+    Parity: ``box2corners_th`` (``ops/rotated_iou/oriented_iou_loss.py:6-35``)
+    rotates corners by ``p @ [[c, s], [-s, c]]`` — the OPPOSITE yaw direction
+    from ``rotation_3d_in_axis``/:func:`bev_corners`.  The reference is
+    internally inconsistent here; the IoU3D/GIoU3D training losses use this
+    convention, so loss parity requires reproducing it (caught by
+    ``tests/test_loss_parity.py``).
+    """
+    x, y, w, h, r = (boxes_xywhr[..., i] for i in range(5))
+    tx = jnp.stack([w / 2, -w / 2, -w / 2, w / 2], axis=-1)
+    ty = jnp.stack([h / 2, h / 2, -h / 2, -h / 2], axis=-1)
+    c, s = jnp.cos(r)[..., None], jnp.sin(r)[..., None]
+    rx = tx * c - ty * s
+    ry = tx * s + ty * c
     return jnp.stack([rx + x[..., None], ry + y[..., None]], axis=-1)
 
 

@@ -172,6 +172,15 @@ def rect_intersection_area(corners1, corners2):
     NMS / eval matrices); the backward pass always differentiates the jnp
     implementation (``custom_vjp`` below), so gradients are unchanged.
 
+    Dispatch caveats: the choice is made at *trace* time from
+    ``jax.default_backend()`` and ``IMVOXELNET_TPU_NO_PALLAS_IOU`` — it is
+    baked into jit caches (toggling the env var after a function has traced
+    has no effect until retrace), and a trace explicitly targeting a
+    non-default device (e.g. ``jit(..., device=cpu)`` on a TPU host) would
+    still pick the Mosaic kernel.  Forward-mode AD (``jvp``) of the
+    >= ``_PALLAS_MIN_PAIRS`` TPU path is unsupported (``custom_vjp`` has no
+    jvp rule); use reverse mode, or set the env var before first trace.
+
     Vectorised sort-free Sutherland–Hodgman clip of rect1 against rect2's
     four edges, in structure-of-arrays layout: every working array is
     ``(8 slots, P pairs)`` with the flattened pair axis minor, so each op
@@ -350,8 +359,10 @@ def iou_3d_aligned(boxes1_gc, boxes2_gc):
                             boxes1_gc[..., 6:7]], axis=-1)
     bev2 = jnp.concatenate([boxes2_gc[..., 0:2], boxes2_gc[..., 3:5],
                             boxes2_gc[..., 6:7]], axis=-1)
+    # box2corners_th yaw convention (NOT bev_corners') — see
+    # ops/boxes.py:bev_corners_loss and tests/test_loss_parity.py
     inter_bev = rect_intersection_area(
-        box_ops.bev_corners(bev1), box_ops.bev_corners(bev2))
+        box_ops.bev_corners_loss(bev1), box_ops.bev_corners_loss(bev2))
     zmax = jnp.minimum(boxes1_gc[..., 2] + boxes1_gc[..., 5] * 0.5,
                        boxes2_gc[..., 2] + boxes2_gc[..., 5] * 0.5)
     zmin = jnp.maximum(boxes1_gc[..., 2] - boxes1_gc[..., 5] * 0.5,

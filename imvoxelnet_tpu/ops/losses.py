@@ -127,8 +127,10 @@ def giou_3d_loss(pred_gc, target_gc, weight=None, *, avg_factor=1.0,
     def bev(b):
         return jnp.concatenate([b[..., 0:2], b[..., 3:5], b[..., 6:7]], -1)
 
-    c1 = box_ops.bev_corners(bev(pred_gc))
-    c2 = box_ops.bev_corners(bev(target_gc))
+    # the rotated-iou extension's yaw convention (box2corners_th), matching
+    # cal_giou_3d's corner source — see ops/boxes.py:bev_corners_loss
+    c1 = box_ops.bev_corners_loss(bev(pred_gc))
+    c2 = box_ops.bev_corners_loss(bev(target_gc))
     area_c = _smallest_enclosing_area(jnp.concatenate([c1, c2], axis=-2))
     z_max = jnp.maximum(pred_gc[..., 2] + pred_gc[..., 5] / 2,
                         target_gc[..., 2] + target_gc[..., 5] / 2)
