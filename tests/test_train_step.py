@@ -78,3 +78,31 @@ def test_train_step_8device_mesh():
     # params stay replicated
     k = state2.params['bbox_head']['conv_cls']['kernel']
     assert len(k.sharding.device_set) == 8
+
+    # --- numerical equivalence: the 8-device GSPMD step must EQUAL the same
+    # global batch on one device (the reference's DDP gradient-averaging +
+    # reduce_mean semantics), not merely stay finite.
+    dev0 = jax.devices()[0]
+    state_1 = jax.device_put(state, jax.sharding.SingleDeviceSharding(dev0))
+    batch_1 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), dev0), batch)
+    step_1 = jax.jit(train_lib.make_train_step(model, tx))
+    state2_1, metrics_1 = step_1(state_1, batch_1)
+    np.testing.assert_allclose(float(metrics['loss']),
+                               float(metrics_1['loss']),
+                               rtol=1e-5, atol=1e-6)
+    # Param tolerance must discriminate a SEMANTICS bug from rounding noise:
+    # f32 all-reduce ordering differs between the 1- and 8-device psum trees,
+    # and Adam's g/(sqrt(v)+eps) amplifies it on near-zero-gradient elements
+    # (observed: isolated diffs up to ~7e-5 on <0.5% of a layer's elements).
+    # A real divergence (e.g. missing gradient averaging) shifts entire
+    # layers by ~lr=1e-4 per element, so assert the MEAN abs diff per layer
+    # stays 10x below that while bounding the worst element (small bias
+    # vectors can carry a few ~5e-6 noisy elements, so the mean threshold
+    # cannot be much tighter).
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state2.params)[0],
+            jax.tree_util.tree_flatten_with_path(state2_1.params)[0]):
+        d = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        assert d.mean() < 1e-5, (str(path), d.mean())
+        assert d.max() < 3e-4, (str(path), d.max())
