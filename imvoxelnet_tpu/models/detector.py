@@ -63,6 +63,13 @@ class ImVoxelNetConfig:
     stride: int = 4                 # asserted == 4 in the reference
     compute_dtype: str = 'float32'  # conv-path dtype; 'bfloat16' on TPU
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    # When set, __call__ expects to run INSIDE shard_map with the view axis
+    # of images/extrinsics sharded over this mesh axis: backbone+FPN+gather
+    # run on the local view shard, the per-voxel (sum, count) pair is
+    # psum-ed, and the 3D neck + heads run replicated on the pooled volume
+    # (SURVEY.md §5's sequence-parallel analog for the 50-view ScanNet test,
+    # ``imvoxelnet_scannet.py:66``).  See ``parallel.mesh.view_sharded_forward``.
+    view_shard_axis: Optional[str] = None
 
 
 def build_neck(cfg: NeckConfig, axis_name, dtype):
@@ -130,8 +137,15 @@ class ImVoxelNet(nn.Module):
 
         # single voxel-major gather for the whole batch: output rows land in
         # the (x, y, z, B, C) physical order the NDHWC 3D convs want
-        acc, cnt = bp.backproject_batch(x, points, projections, valid_hw)
-        vol, seen = bp.mean_pool_from_sums(acc, cnt, n_views=v)
+        acc, cnt = bp.backproject_batch(x, points, projections, valid_hw,
+                                        axis_name=cfg.view_shard_axis)
+        if cfg.view_shard_axis is not None:
+            # view-parallel: v above is the LOCAL view count; pool globally
+            acc = jax.lax.psum(acc, cfg.view_shard_axis)
+            cnt = jax.lax.psum(cnt, cfg.view_shard_axis)
+            vol, seen = bp.mean_pool_from_sums(acc, cnt)
+        else:
+            vol, seen = bp.mean_pool_from_sums(acc, cnt, n_views=v)
         volume = jnp.transpose(
             vol.reshape(nx, ny, nz, b, -1), (3, 0, 1, 2, 4))
         valid = jnp.transpose(seen.reshape(nx, ny, nz, b), (3, 0, 1, 2))

@@ -118,7 +118,8 @@ def backproject_view_sharded(features, points, projections, valid_hw,
     return mean_pool_from_sums(acc, cnt)
 
 
-def backproject_batch(features, points, projections, valid_hw):
+def backproject_batch(features, points, projections, valid_hw,
+                      axis_name=None):
     """Whole-batch backprojection with a single voxel-major gather per view.
 
     Functionally identical to ``vmap(backproject)`` over the batch, but the
@@ -133,6 +134,9 @@ def backproject_batch(features, points, projections, valid_hw):
       points: ``(B, P, 3)`` per-sample voxel centers.
       projections: ``(B, V, 3, 4)``.
       valid_hw: ``(B, 2)`` int ``(h, w)`` valid feature extents.
+      axis_name: set when running inside ``shard_map`` with the view axis
+        sharded (the scan carry must be marked varying over that axis);
+        sums/counts then cover only the LOCAL views — ``psum`` outside.
 
     Returns:
       acc: ``(P, B, C)`` per-voxel feature sums over valid views.
@@ -168,6 +172,8 @@ def backproject_batch(features, points, projections, valid_hw):
 
     init = (jnp.zeros((p * b, c), features.dtype),
             jnp.zeros((p * b,), features.dtype))
+    if axis_name is not None:
+        init = jax.lax.pcast(init, (axis_name,), to='varying')
     (acc, cnt), _ = jax.lax.scan(
         one_view, init,
         (jnp.swapaxes(features, 0, 1), jnp.swapaxes(idx, 0, 1),

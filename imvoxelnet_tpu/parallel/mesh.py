@@ -33,3 +33,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    if hasattr(jax, 'shard_map'):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+    from jax.experimental.shard_map import shard_map
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def view_sharded_forward(model, mesh: Mesh, axis_name: str = 'view'):
+    """Jitted inference forward with the VIEW axis sharded over ``mesh`` —
+    the sequence-parallel analog SURVEY.md §5 names for the 50-view ScanNet
+    test (``imvoxelnet_scannet.py:66``).
+
+    Each device runs backbone + FPN + the voxel gather on its local view
+    shard; the per-voxel (sum, count) pair is ``psum``-ed over ICI; the 3D
+    neck and head then run replicated on the pooled volume (cheap next to
+    the 50-view backbone).  Mathematically identical to the unsharded
+    detector — exact-match tested in ``tests/test_view_sharding.py``.
+
+    The model's config must set ``view_shard_axis == axis_name``
+    (e.g. ``dataclasses.replace(preset.model, view_shard_axis='view')``).
+    Requires the global view count to be divisible by the mesh size.
+    """
+    assert model.cfg.view_shard_axis == axis_name, (
+        'set ImVoxelNetConfig.view_shard_axis to run view-sharded')
+
+    def fwd(variables, batch):
+        sharded_keys = {'images', 'extrinsics'}
+        batch_specs = {k: (P(None, axis_name) if k in sharded_keys else P())
+                       for k in batch}
+        f = _shard_map(
+            lambda v, b: model.apply(v, b, train=False),
+            mesh, in_specs=(P(), batch_specs), out_specs=P())
+        return f(variables, batch)
+
+    return jax.jit(fwd)
