@@ -128,10 +128,12 @@ def indoor_eval(gt_annos, dt_annos, classes, iou_thrs=(0.25, 0.5)):
             pred[label].setdefault(
                 img_id, (np.zeros((0, 7), np.float32), np.zeros((0,))))
 
-    # reference semantics (``indoor_eval.py:163-199``): the mean runs over
-    # classes with >= 1 GT box in the dataset; a GT class with no predictions
-    # contributes AP = 0 / recall = 0, and predicted-only classes (no GT
-    # anywhere) are excluded entirely
+    # reference semantics (``indoor_eval.py:163-199``) with one deliberate
+    # divergence: the mean runs over classes with >= 1 GT box in the dataset
+    # (a GT class with no predictions contributes AP = 0 / recall = 0), and
+    # predicted-only classes (no GT anywhere — degenerate input) are
+    # excluded entirely, where the reference iterates gt.keys() and its
+    # 0-GT recall becomes 0/0 -> NaN that propagates into the mAP mean
     gt_classes = sorted(
         label for label, per_img in gt.items()
         if any(len(b) for b in per_img.values()))

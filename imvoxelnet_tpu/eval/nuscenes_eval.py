@@ -198,9 +198,57 @@ def _calc_tp(md, metric, min_recall=0.1):
 TP_DIST_TH = 2.0
 YAW_PERIODS = {'barrier': np.pi}    # all other classes: full period
 
+# detection_cvpr_2019 class_range (devkit
+# ``eval/detection/configs/detection_cvpr_2019.json``): max ego-frame BEV
+# radius; boxes (GT and detections) beyond it are dropped before matching
+# (reference ``nuscenes_dataset.py:590-594`` for detections,
+# devkit ``filter_eval_boxes`` for GT).
+CLASS_RANGE = {
+    'car': 50.0, 'truck': 50.0, 'bus': 50.0, 'trailer': 50.0,
+    'construction_vehicle': 50.0, 'pedestrian': 40.0, 'motorcycle': 40.0,
+    'bicycle': 40.0, 'traffic_cone': 30.0, 'barrier': 30.0,
+}
+# devkit TP-metric exclusions (``evaluate.py``: the excluded errors are set
+# NaN and skipped by the nanmean): traffic cones have no orientation or
+# velocity; barriers have no velocity.
+TP_EXCLUDE = {
+    'traffic_cone': {'AOE', 'AVE'},
+    'barrier': {'AVE'},
+}
+
+
+def _range_filter(annos, classes, class_range):
+    """Drop boxes whose BEV center radius exceeds their class range.
+
+    The devkit measures the radius in the EGO frame
+    (``nuscenes_dataset.py:587-594`` rotates/translates lidar->ego first);
+    here boxes are in the lidar frame, whose origin differs from ego by the
+    fixed ~1 m sensor offset — pass ``ego_offset`` through ``annos`` if that
+    matters for a study; the protocol intent (cap matching at 30-50 m) is
+    preserved either way.
+    """
+    out = []
+    for a in annos:
+        boxes = np.asarray(a['boxes'], np.float32).reshape(-1, 7)
+        labels = np.asarray(a.get('labels',
+                                  np.zeros(len(boxes), np.int64))).reshape(-1)
+        radius = np.linalg.norm(boxes[:, :2], axis=1)
+        limits = np.asarray([class_range.get(classes[int(l)], 50.0)
+                             if 0 <= int(l) < len(classes) else 50.0
+                             for l in labels])
+        keep = radius <= limits
+        filtered = {k: (np.asarray(v)[keep] if np.ndim(v) and
+                        len(np.asarray(v)) == len(keep) else v)
+                    for k, v in a.items()}
+        filtered['boxes'] = boxes[keep]
+        filtered['labels'] = labels[keep]
+        out.append(filtered)
+    return out
+
 
 def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
-                 dist_thresholds=DIST_THRESHOLDS, with_velocity=False):
+                 dist_thresholds=DIST_THRESHOLDS, with_velocity=False,
+                 class_range=None):
     """Devkit-free nuScenes detection metrics: per-class AP at the four
     center-distance thresholds, ATE/ASE/AOE (+ATE at velocity when
     ``with_velocity``), mAP and NDS.
@@ -208,10 +256,16 @@ def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
     Parity: ``nuscenes-devkit eval/detection/{algo,evaluate}.py`` as invoked
     by the reference's ``NuScenesDataset.evaluate``
     (``mmdet3d/datasets/nuscenes_dataset.py``) after the zero-velocity pad of
-    ``nuscenes_monocular_dataset.py:43-59``.  TP errors are computed at the
-    2 m threshold.  Attribute error is not modeled (the monocular shim fixes
-    attributes), and velocity error is opt-in; NDS renormalizes over the
-    metrics present: ``NDS = (5*mAP + Σ (1 - min(1, err))) / (5 + n_tp)``.
+    ``nuscenes_monocular_dataset.py:43-59``, including the per-class
+    ``class_range`` radius filter applied to both GT and detections
+    (``detection_cvpr_2019`` defaults; pass ``class_range={}`` to disable)
+    and the devkit's per-class TP-error exclusions (traffic_cone: no
+    AOE/AVE; barrier: no AVE).  TP errors are computed at the 2 m threshold.
+    Attribute error is not modeled (the monocular shim fixes attributes),
+    and velocity error is opt-in; NDS renormalizes over the metrics present:
+    ``NDS = (5*mAP + Σ (1 - min(1, err))) / (5 + n_tp)``.  The radius filter
+    uses the lidar-frame BEV radius where the devkit uses the ego frame
+    (~1 m sensor offset) — see ``_range_filter``.
 
     Args:
       gt_annos / dt_annos: per-sample dicts with ``boxes (N, 7)``
@@ -221,11 +275,19 @@ def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
     Returns a flat metric dict (``{cls}_AP_dist_{thr}``, ``{cls}_ATE`` …,
     ``mAP``, ``NDS``).
     """
+    if class_range is None:
+        class_range = CLASS_RANGE
+    if class_range:
+        gt_annos = _range_filter(gt_annos, classes, class_range)
+        dt_annos = _range_filter(dt_annos, classes, class_range)
     results = {}
     all_aps = []
     tp_errs = {k: [] for k in ('ATE', 'ASE', 'AOE', 'AVE')}
+    tp_key = dict(ATE='trans_err', ASE='scale_err', AOE='orient_err',
+                  AVE='vel_err')
     for ci, cls_name in enumerate(classes):
         period = YAW_PERIODS.get(cls_name, 2 * np.pi)
+        excluded = TP_EXCLUDE.get(cls_name, set())
         aps = []
         for thr in dist_thresholds:
             md = _accumulate(gt_annos, dt_annos, ci, thr, period)
@@ -233,15 +295,14 @@ def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
             results[f'{cls_name}_AP_dist_{thr}'] = ap
             aps.append(ap)
             if thr == TP_DIST_TH:
-                results[f'{cls_name}_ATE'] = _calc_tp(md, 'trans_err')
-                results[f'{cls_name}_ASE'] = _calc_tp(md, 'scale_err')
-                results[f'{cls_name}_AOE'] = _calc_tp(md, 'orient_err')
-                tp_errs['ATE'].append(results[f'{cls_name}_ATE'])
-                tp_errs['ASE'].append(results[f'{cls_name}_ASE'])
-                tp_errs['AOE'].append(results[f'{cls_name}_AOE'])
-                if with_velocity:
-                    results[f'{cls_name}_AVE'] = _calc_tp(md, 'vel_err')
-                    tp_errs['AVE'].append(results[f'{cls_name}_AVE'])
+                names = ['ATE', 'ASE', 'AOE'] + (
+                    ['AVE'] if with_velocity else [])
+                for name in names:
+                    if name in excluded:
+                        continue
+                    results[f'{cls_name}_{name}'] = _calc_tp(
+                        md, tp_key[name])
+                    tp_errs[name].append(results[f'{cls_name}_{name}'])
         results[f'{cls_name}_AP'] = float(np.mean(aps))
         all_aps.extend(aps)
 
@@ -250,7 +311,8 @@ def nuscenes_nds(gt_annos, dt_annos, classes=('car',),
     tp_names = ['ATE', 'ASE', 'AOE'] + (['AVE'] if with_velocity else [])
     tp_scores = []
     for name in tp_names:
-        err = float(np.mean(tp_errs[name]))
+        # nanmean analog: classes with this metric excluded don't contribute
+        err = float(np.mean(tp_errs[name])) if tp_errs[name] else 1.0
         results[f'm{name}'] = err
         tp_scores.append(max(0.0, 1.0 - min(1.0, err)))
     results['NDS'] = float(
