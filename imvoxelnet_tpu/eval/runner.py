@@ -111,7 +111,32 @@ def evaluate_results(preset, preset_name, dataset, results):
             np.mean(np.abs(pr[:, 0] - gt_angles[:, 0])) * 180 / np.pi)
         metrics['roll_mae'] = float(
             np.mean(np.abs(pr[:, 1] - gt_angles[:, 1])) * 180 / np.pi)
+        # layout_iou (sunrgbd_monocular_dataset.py:141-151): per-sample
+        # rotated 3D IoU (the overlaps/NMS kernel convention) between the
+        # predicted layout box and the GT layout, both bottom-center
+        metrics['layout_iou'] = float(np.mean(layout_ious(
+            np.stack([r['layout'] for r in results]),
+            np.stack([info['layout'] for info in dataset.data_infos]))))
     return metrics
+
+
+def layout_ious(pred_layouts_gc, gt_layouts_stored):
+    """Aligned rotated-3D IoUs between predicted layout boxes
+    (gravity-center, the LayoutHead output) and stored GT layouts
+    (origin ``(.5, .5, .5)``) — the ``DepthInstance3DBoxes.overlaps`` call of
+    ``sunrgbd_monocular_dataset.py:141-148``."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import iou as iou_ops
+
+    pred = np.asarray(pred_layouts_gc, np.float32).copy()
+    pred[:, 2] -= pred[:, 5] / 2
+    gt = np.asarray(gt_layouts_stored, np.float32).copy()
+    gt[:, 2] -= gt[:, 5] / 2
+    f = jax.jit(jax.vmap(
+        lambda p, t: iou_ops.bbox_overlaps_3d(p[None], t[None])[0, 0]))
+    return np.asarray(f(jnp.asarray(pred), jnp.asarray(gt)))
 
 
 def build_val_dataset(preset, preset_name, data_root, ann_file, num_workers=4,

@@ -114,3 +114,23 @@ def test_indoor_eval_less_classes_reference_golden():
     m = indoor_eval(gt, det, ('cabinet', 'bed', 'chair'), (0.25, 0.5))
     assert np.isclose(m['mAP_0.25'], 0.666667, atol=1e-5)
     assert np.isclose(m['mAR_0.25'], 0.666667, atol=1e-5)
+
+
+def test_layout_ious():
+    """Total3D layout_iou metric (``sunrgbd_monocular_dataset.py:141-148``):
+    aligned rotated-3D IoU between predicted layouts (gravity-center) and
+    stored GT layouts (origin (.5, .5, .5) == gravity-center z)."""
+    from imvoxelnet_tpu.eval.runner import layout_ious
+
+    # identical boxes -> IoU 1, including a rotated one
+    pred = np.array([[1.0, 2.0, 1.5, 4.0, 5.0, 3.0, 0.3],
+                     [0.0, 0.0, 1.0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+    np.testing.assert_allclose(layout_ious(pred, pred), [1.0, 1.0], atol=1e-5)
+
+    # axis-aligned unit shift: BEV inter 1x2, z fully shared (same gravity
+    # z + same h) -> 4 / (8 + 8 - 4) = 1/3
+    gt = pred.copy()
+    gt[1, 0] += 1.0
+    ious = layout_ious(pred, gt)
+    np.testing.assert_allclose(ious[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(ious[1], 1.0 / 3.0, atol=1e-5)
