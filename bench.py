@@ -70,8 +70,9 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = batch_size * n_iters / dt
-    # Model cost: ~2.69 TFLOP/scene (3D neck 2.60 TF dominates ResNet-50+FPN
-    # ~0.09 TF at 384x1280; per-layer arithmetic in docs/performance.md).
+    # Model cost: 2.69 TFLOP/scene, derived per-layer AND cross-checked
+    # against XLA's HLO cost analysis by tools/flops.py (neck 2.60 +
+    # ResNet-50 0.080 + FPN/head 0.005 at 384x1280, 2 x MAC convention).
     # v5e nominal bf16 peak = 197 TFLOP/s.
     tflop_per_scene = 2.69
     mfu = scenes_per_sec * tflop_per_scene / 197.0
