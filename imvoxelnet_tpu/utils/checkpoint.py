@@ -449,6 +449,31 @@ def save_checkpoint_sharded(path, state, metadata=None):
             meta=ocp.args.JsonSave(metadata or {})), force=True)
 
 
+def _reput_cpu_buffers(tree):
+    """Re-materialize orbax-restored arrays through a host copy + fresh
+    ``device_put`` — CPU backend only.
+
+    On the CPU backend the buffers orbax hands back behave pathologically
+    under a multi-device mesh: executing a jitted step whose *inputs* are
+    such arrays serializes the per-device runner threads, so every
+    cross-device collective rendezvous straggles (XLA logs "this thread has
+    been waiting for all gather ... may be stuck"; measured 263 s vs 10.8 s
+    for the same tiny 8-virtual-device train step).  A host round-trip
+    produces ordinary XLA-owned buffers and restores normal scheduling.  On
+    TPU the restored arrays live in HBM and no such pathology exists — and
+    the round-trip would be expensive — so this is gated on the backend.
+    """
+    import jax
+    import numpy as np
+
+    def fix(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return jax.device_put(np.asarray(x), x.sharding)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def load_checkpoint_sharded(path, abstract_state=None):
     """Restore an orbax checkpoint directory.
 
@@ -486,6 +511,8 @@ def load_checkpoint_sharded(path, abstract_state=None):
         out = ckptr.restore(path, args=ocp.args.Composite(
             state=restore_args, meta=ocp.args.JsonRestore()))
     arrays = out['state']
+    if jax.default_backend() == 'cpu':
+        arrays = _reput_cpu_buffers(arrays)
     return {
         'params': arrays['params'],
         'batch_stats': arrays['batch_stats'],
