@@ -36,6 +36,21 @@ access pattern (9.5 ms inside the KITTI b8 forward, 6% of the batch); the
 production path is ``ops/backproject.py``.  This kernel is kept as the fused
 formulation that becomes compilable when Mosaic gains multi-vreg gathers —
 re-test on each jax/libtpu bump.
+
+Round-3 close-out of the remaining design point (sub-table tiling): split
+the feature table into sub-tables small enough for a single-source-vreg
+gather (<= 128-256 pixels) and select among them.  The KITTI table
+(96*320 = 30720 px) needs >= 120 sub-tables; every voxel tile must gather
+from EACH sub-table and select by index range, so per 2048-voxel x 64-ch
+tile that is ~120 x ~2 vreg-ops x 16 vregs ~ 3.8k sequential vector ops —
+~10 ms over the 5.1M-row KITTI batch at 1 op/cycle, i.e. at best *parity*
+with XLA's 9.5 ms gather before any select/bookkeeping overhead, with
+strictly worse scaling in table size.  Together with the measured one-hot
+(4.24 vs 3.63 ms) and per-vreg-serialization negatives above, this closes
+the workaround space: no Pallas formulation beats XLA's gather without
+native multi-vreg ``tpu.dynamic_gather``.  The BACKWARD (scatter-add,
+76.9 ms in the train step) is blocked on the same primitive — see
+docs/performance.md round-3 train attribution and ``tools/bench_scatter.py``.
 """
 
 from __future__ import annotations
