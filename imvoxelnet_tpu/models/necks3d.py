@@ -82,8 +82,14 @@ class Conv3x3x3(nn.Module):
             (3, 3, 3, x.shape[-1], self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        # Decompose only when the x/y plane is large enough for the skipped
+        # z-pad MACs to dominate the extra conv launches + concat: measured
+        # on hardware, KITTI block2 (216x248 plane, nz=3) gains +6.6%
+        # end-to-end while the indoor fast neck (40x40 plane, nz=4) LOSES
+        # ~8% — small volumes are overhead-bound, not MAC-bound.
         if (self.stride == (1, 1, 1) and self.padding == (1, 1, 1)
-                and 3 <= x.shape[3] <= 4):
+                and 3 <= x.shape[3] <= 4
+                and x.shape[1] * x.shape[2] >= 16384):
             return _conv3z_same(x, kernel)
         return jax.lax.conv_general_dilated(
             x, kernel, self.stride,
