@@ -212,6 +212,48 @@ def test_kitti_neck_conversion_numeric_parity():
         rtol=1e-3, atol=1e-3)
 
 
+class TorchNuScenesNeck(tnn.Module):
+    """Reference NuScenesImVoxelNeck structure (``necks/imvoxelnet.py:126-154``):
+    the same six-module stack as the KITTI neck, but the first down conv is
+    stride 2 on all axes and the final conv keeps x/y padding ``(1, 1, 0)``."""
+
+    def __init__(self, cin=8, cout=16):
+        super().__init__()
+        self.model = tnn.Sequential(
+            TorchBasicBlock3d(cin),
+            _conv_bn_relu3d(cin, cin * 2, 2, 1),
+            TorchBasicBlock3d(cin * 2),
+            _conv_bn_relu3d(cin * 2, cin * 4, (1, 1, 2), (1, 1, 1)),
+            TorchBasicBlock3d(cin * 4),
+            _conv_bn_relu3d(cin * 4, cout, 1, (1, 1, 0)),
+        )
+
+    def forward(self, x):
+        x = self.model(x)
+        return x[..., 0].transpose(-1, -2)
+
+
+def test_nuscenes_neck_matches_torch():
+    rng = np.random.RandomState(7)
+    tm = TorchNuScenesNeck().eval()
+    _randomize_bn(tm, rng)
+    sd = {f'neck_3d.{k}': v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+
+    x = rng.randn(1, 8, 10, 12, 8).astype(np.float32)    # (B, nx, ny, nz, C)
+    with torch.no_grad():
+        t_out = tm(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+
+    from imvoxelnet_tpu.models.necks3d import NuScenesImVoxelNeck
+    params, stats = ckpt.convert_nuscenes_neck(sd)
+    j_out = NuScenesImVoxelNeck(8, 16).apply(
+        {'params': params, 'batch_stats': stats}, jnp.asarray(x),
+        train=False)[0]
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-3, atol=1e-3)
+
+
 class TorchEncoderDecoder(tnn.Module):
     """Reference ImVoxelNeck EncoderDecoder structure (layers_down /
     layers_up_conv / layers_up_res / proj, conditional=False)."""

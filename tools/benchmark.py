@@ -28,6 +28,11 @@ def main():
     parser.add_argument('--exact-nms', action='store_true',
                         help='indoor presets: pre_nms_k=0 (exact untruncated '
                              'shared-IoU-matrix NMS; docs/performance.md)')
+    parser.add_argument('--view-sharded', action='store_true',
+                        help='forward only: shard the view axis over all '
+                             'local devices (parallel.mesh.'
+                             'view_sharded_forward; on one chip this '
+                             'measures the shard_map no-regression cost)')
     args = parser.parse_args()
 
     import dataclasses
@@ -76,6 +81,32 @@ def main():
                    else 0.0)
             pending[0] = metrics['loss']
             return out
+    elif args.view_sharded:
+        from imvoxelnet_tpu.parallel import mesh as mesh_lib
+        vmesh = mesh_lib.make_mesh(axis_name='view')
+        n_views = preset.data.n_images_test
+        if n_views % vmesh.size:
+            parser.error(f'n_images_test={n_views} must be divisible by the '
+                         f'device count {vmesh.size}')
+        # init with the unsharded model (identical param tree), apply sharded
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        model_sh = ImVoxelNet(dataclasses.replace(cfg,
+                                                  view_shard_axis='view'))
+        sharded_apply = mesh_lib.view_sharded_forward(model_sh, vmesh)
+        predict_fn = jax.jit(
+            lambda outs, batch: imvoxelnet_predict(cfg, *outs, batch))
+
+        def forward(variables, batch):
+            return predict_fn(sharded_apply(variables, batch), batch)
+
+        pending = [None]
+
+        def run():
+            out = forward(variables, batch)
+            res = (float(np.asarray(pending[0]['scores']).sum())
+                   if pending[0] is not None else 0.0)
+            pending[0] = out
+            return res
     else:
         variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
