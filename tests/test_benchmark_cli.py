@@ -44,6 +44,24 @@ def test_benchmark_cli_forward(monkeypatch, capsys):
     assert out['mode'] == 'fwd' and out['scenes_per_sec'] > 0
 
 
+def test_benchmark_cli_train(monkeypatch, capsys):
+    out = _run_cli(
+        monkeypatch, capsys,
+        ['tiny_scannet', '--train', '--batch-size', '1', '--iters', '2',
+         '--warmup', '0', '--dtype', 'float32'],
+        _tiny_preset(n_images_test=1))
+    assert out['mode'] == 'train' and out['scenes_per_sec'] > 0
+
+
+def test_benchmark_cli_exact_nms(monkeypatch, capsys):
+    out = _run_cli(
+        monkeypatch, capsys,
+        ['tiny_scannet', '--exact-nms', '--batch-size', '1', '--iters', '1',
+         '--warmup', '0', '--dtype', 'float32'],
+        _tiny_preset(n_images_test=1))
+    assert out['mode'] == 'fwd' and out['scenes_per_sec'] > 0
+
+
 def test_benchmark_cli_view_sharded(monkeypatch, capsys):
     """8 views over the 8-device CPU mesh (1 view/device)."""
     import jax
