@@ -97,7 +97,8 @@ def xla_count(preset_name, batch_size):
     preset = get_preset(preset_name)
     model_cfg = dataclasses.replace(preset.model, compute_dtype='bfloat16')
     model = ImVoxelNet(model_cfg)
-    batch = _kitti_batch(b=batch_size, v=1, h=384, w=1280)
+    w, h = preset.data.test_size
+    batch = _kitti_batch(b=batch_size, v=preset.data.n_images_test, h=h, w=w)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
     def forward(variables, batch):
@@ -112,6 +113,23 @@ def xla_count(preset_name, batch_size):
 
 
 def main():
+    preset_arg = next((a for a in sys.argv[1:] if not a.startswith('-')),
+                      None)
+    if preset_arg and preset_arg != 'imvoxelnet_kitti':
+        # Any preset: XLA HLO valid-tap count only (the analytic dense
+        # inventory above is KITTI-specific).  The derived speed of light is
+        # an UPPER bound on achievable scenes/sec — the MXU additionally
+        # executes padded taps the valid-tap convention excludes.
+        b = 8 if 'nuscenes' not in preset_arg and 'scannet' not in preset_arg \
+            else 1
+        per_scene = xla_count(preset_arg, b)
+        peak = 197.0
+        print(f'{preset_arg}: XLA HLO cost analysis (valid-tap convention, '
+              f'b{b}): {per_scene / 1e12:.4f} TF/scene')
+        print(f'valid-tap speed of light at {peak} TFLOP/s: '
+              f'{peak / (per_scene / 1e12):.1f} scenes/sec (upper bound)')
+        return
+
     rows, neck_total, total = analytic_kitti()
     print('analytic per-scene FLOPs (2 x MAC), KITTI 384x1280 / 216x248x12:')
     for name, f in rows:
