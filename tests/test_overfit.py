@@ -33,3 +33,12 @@ def test_indoor_overfit_loss_decreases():
                         _make_batch(b=1, g=4), 12)
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_nuscenes_dcn_overfit_loss_decreases():
+    """The nuScenes family's train path (NuScenesImVoxelNeck + DCN stages,
+    so the deformable-sampling backward is in the graph) must also learn."""
+    from test_e2e_nuscenes import _tiny_nuscenes_cfg
+    losses = _run_steps(_tiny_nuscenes_cfg(), _make_batch(b=1, v=2, g=4), 12)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.8, losses
