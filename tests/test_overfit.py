@@ -35,6 +35,16 @@ def test_indoor_overfit_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+def test_total3d_overfit_loss_decreases():
+    """Total3D adds the angle/layout losses (weights 100/1) to the indoor
+    stack; the joint loss must still learn on a fixed batch."""
+    losses = _run_steps(
+        _tiny_indoor_cfg('sunrgbd', 1, False, -1, layout=True),
+        _make_batch(b=1, g=4, with_layout=True), 12)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
 def test_nuscenes_dcn_overfit_loss_decreases():
     """The nuScenes family's train path (NuScenesImVoxelNeck + DCN stages,
     so the deformable-sampling backward is in the graph) must also learn."""
