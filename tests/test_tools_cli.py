@@ -1,0 +1,68 @@
+"""Smoke tests for the small CLI tools (print_config, analyze_logs,
+publish_model) — reference ``tools/`` parity surfaces with no model in the
+loop."""
+
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+import analyze_logs  # noqa: E402
+import print_config  # noqa: E402
+import publish_model  # noqa: E402
+
+
+def test_print_config_lists_presets(monkeypatch, capsys):
+    monkeypatch.setattr(sys, 'argv', ['print_config.py'])
+    print_config.main()
+    out = capsys.readouterr().out
+    names = out.strip().splitlines()
+    # the 14 reference configs (plus internal helpers like tiny_kitti_test)
+    for family in ('kitti', 'nuscenes', 'scannet', 'sunrgbd',
+                   'perspective_sunrgbd', 'total_sunrgbd'):
+        assert f'imvoxelnet_{family}' in names, family
+    assert sum(1 for n in names if n.startswith('imvoxelnet_')) == 14
+
+
+def test_print_config_resolves_preset(monkeypatch, capsys):
+    monkeypatch.setattr(sys, 'argv', ['print_config.py', 'imvoxelnet_kitti'])
+    print_config.main()
+    out = capsys.readouterr().out
+    assert "'n_voxels': (216, 248, 12)" in out
+
+
+def test_analyze_logs_summary(tmp_path, monkeypatch, capsys):
+    log = tmp_path / 'train_log.jsonl'
+    with open(log, 'w') as f:
+        for i in range(5):
+            f.write(json.dumps(dict(step=i, loss=2.0 - 0.3 * i)) + '\n')
+    monkeypatch.setattr(sys, 'argv', ['analyze_logs.py', str(log)])
+    analyze_logs.main()
+    out = capsys.readouterr().out
+    assert 'loss: first=2.0000 last=0.8000' in out
+    assert 'n=5' in out
+
+
+def test_publish_model_strips_optimizer_state(tmp_path, monkeypatch, capsys):
+    ckpt = dict(params={'w': np.ones(3)}, batch_stats={'m': np.zeros(2)},
+                opt_state={'momentum': np.ones(3)}, step=7,
+                meta=dict(preset='imvoxelnet_kitti'))
+    src = tmp_path / 'epoch_12.ckpt'
+    with open(src, 'wb') as f:
+        pickle.dump(ckpt, f)
+    monkeypatch.setattr(sys, 'argv', [
+        'publish_model.py', str(src), str(tmp_path / 'published.ckpt')])
+    publish_model.main()
+    out = capsys.readouterr().out.strip()
+    published = out.split()[-1]
+    assert os.path.exists(published)
+    # 8-hex content hash in the published filename (reference convention)
+    stem = os.path.basename(published)
+    assert stem.startswith('published-') and stem.endswith('.ckpt')
+    with open(published, 'rb') as f:
+        slim = pickle.load(f)
+    assert set(slim) == {'params', 'batch_stats', 'meta'}
