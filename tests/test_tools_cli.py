@@ -12,8 +12,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
 
 import analyze_logs  # noqa: E402
+import demo  # noqa: E402
 import print_config  # noqa: E402
 import publish_model  # noqa: E402
+
+from test_datasets import sunrgbd_root  # noqa: F401, E402  (fixture)
 
 
 def test_print_config_lists_presets(monkeypatch, capsys):
@@ -45,6 +48,30 @@ def test_analyze_logs_summary(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert 'loss: first=2.0000 last=0.8000' in out
     assert 'n=5' in out
+
+
+def test_demo_cli_end_to_end(sunrgbd_root, tmp_path, monkeypatch,  # noqa: F811
+                             capsys):
+    """demo.py on the synthetic SUN RGB-D fixture with a tiny preset:
+    random-weight inference + wireframe rendering + .obj export."""
+    from imvoxelnet_tpu.configs import presets as presets_mod
+    from test_models import _tiny_indoor_cfg
+
+    tiny = presets_mod.Preset(
+        name='tiny_sunrgbd', model=_tiny_indoor_cfg('sunrgbd'),
+        data=presets_mod.DataConfig(
+            dataset='sunrgbd', classes=('bed', 'table'),
+            test_size=(160, 128), max_gt=8))
+    monkeypatch.setattr(presets_mod, 'get_preset', lambda name: tiny)
+    out_dir = str(tmp_path / 'demo')
+    monkeypatch.setattr(sys, 'argv', [
+        'demo.py', 'tiny_sunrgbd', '--data-root', sunrgbd_root,
+        '--ann-file', os.path.join(sunrgbd_root, 'infos.pkl'),
+        '--out-dir', out_dir, '--obj'])
+    demo.main()
+    out = capsys.readouterr().out
+    assert 'detections' in out and 'wrote:' in out
+    assert any(f.endswith('.obj') for f in os.listdir(out_dir))
 
 
 def test_publish_model_strips_optimizer_state(tmp_path, monkeypatch, capsys):
