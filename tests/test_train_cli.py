@@ -73,3 +73,17 @@ def test_train_then_test_cli(kitti4_root, tmp_path, monkeypatch, capsys):
     assert 'KITTI/Pedestrian_3D_moderate' in metrics
     for v in metrics.values():
         assert np.isfinite(v)
+
+    # auto-resume: a second run with --epochs 2 must pick up latest.ckpt at
+    # epoch 1 and train only the remaining epoch
+    monkeypatch.setattr(sys, 'argv', [
+        'train.py', 'tiny_kitti_test', '--data-root', kitti4_root,
+        '--ann-file', ann, '--work-dir', work_dir, '--epochs', '2',
+        '--batch-size', '8', '--num-workers', '2', '--log-interval', '1'])
+    train_cli.main()
+    out = capsys.readouterr().out
+    assert 'resumed from' in out and 'at epoch 1' in out
+    assert 'epoch 2/2 done' in out
+    with open(ckpt, 'rb') as f:
+        payload = pickle.load(f)
+    assert payload['meta']['epoch'] == 2 and payload['step'] == 2
