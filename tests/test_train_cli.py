@@ -87,3 +87,27 @@ def test_train_then_test_cli(kitti4_root, tmp_path, monkeypatch, capsys):
     with open(ckpt, 'rb') as f:
         payload = pickle.load(f)
     assert payload['meta']['epoch'] == 2 and payload['step'] == 2
+
+
+def test_train_cli_orbax_resume(kitti4_root, tmp_path, monkeypatch, capsys):
+    """The --ckpt-format orbax path: sharded save each epoch, auto-resume
+    restoring with the state's structure (the CPU-mesh re-put fix in
+    utils/checkpoint.py is on this path)."""
+    work_dir = str(tmp_path / 'work_orbax')
+    ann = os.path.join(kitti4_root, 'kitti_infos_train.pkl')
+    train_cli = _load_tool('train')
+
+    base = ['train.py', 'tiny_kitti_test', '--data-root', kitti4_root,
+            '--ann-file', ann, '--work-dir', work_dir, '--batch-size', '8',
+            '--num-workers', '2', '--log-interval', '1',
+            '--ckpt-format', 'orbax']
+    monkeypatch.setattr(sys, 'argv', base + ['--epochs', '1'])
+    train_cli.main()
+    capsys.readouterr()
+    assert os.path.isdir(os.path.join(work_dir, 'latest.orbax'))
+
+    monkeypatch.setattr(sys, 'argv', base + ['--epochs', '2'])
+    train_cli.main()
+    out = capsys.readouterr().out
+    assert 'resumed from' in out and 'at epoch 1' in out
+    assert 'epoch 2/2 done' in out
