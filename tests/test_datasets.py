@@ -254,3 +254,108 @@ def test_kitti_stereo_dataset(kitti_root):
     assert s['extrinsics'].shape == (2, 4, 4)
     # P2/P3 translations differ -> the two extrinsics differ
     assert not np.allclose(s['extrinsics'][0], s['extrinsics'][1])
+
+
+# --- reference-fixture compatibility: our readers consume the reference's
+# own tests/data info pkls (real schema + real calibration values; image
+# pixels are synthesized since the reference ships no camera jpgs)
+
+@pytest.fixture()
+def sunrgbd_ref_root(tmp_path):
+    import cv2
+    root = str(tmp_path / 'sunrgbd_ref')
+    with open('/root/reference/tests/data/sunrgbd/sunrgbd_infos.pkl',
+              'rb') as f:
+        infos = pickle.load(f)
+    rel = infos[0]['image']['image_path']
+    h, w = infos[0]['image']['image_shape']
+    target = os.path.normpath(os.path.join(root, rel))
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    ok, buf = cv2.imencode('.png', np.random.RandomState(0).randint(
+        0, 255, (int(h), int(w), 3), np.uint8))
+    assert ok
+    with open(target, 'wb') as f:     # extensionless path; cv2 sniffs content
+        f.write(buf.tobytes())
+    with open(os.path.join(root, 'infos.pkl'), 'wb') as f:
+        pickle.dump(infos, f)
+    return root
+
+
+def test_sunrgbd_reads_reference_fixture_infos(sunrgbd_ref_root):
+    """``tests/data/sunrgbd/sunrgbd_infos.pkl`` (the reference's own test
+    fixture) flows through our reader: real K/Rt calibration, real GT with
+    the origin-(.5,.5,.5) -> bottom-center conversion."""
+    img_cfg = pl.ImagePipelineConfig(test_scale=(640, 480),
+                                     pad_size=(480, 640))
+    d = ds.SunRgbdMultiViewDataset(
+        sunrgbd_ref_root, os.path.join(sunrgbd_ref_root, 'infos.pkl'),
+        ('bed', 'night_stand', 'dresser'), img_cfg, max_gt=8)
+    s = d.get_sample(0, train=False, rng=np.random.RandomState(0))
+    assert s['images'].shape == (1, 480, 640, 3)
+    np.testing.assert_allclose(s['origin'], [0, 3, -1])
+    assert s['gt_mask'].sum() == 3
+    # the fixture's first box: center z -0.246859, h 1.969614
+    np.testing.assert_allclose(
+        s['gt_boxes'][0, 2], -0.246859 - 1.969614 / 2, atol=1e-5)
+    np.testing.assert_allclose(s['gt_boxes'][0, :2],
+                               [1.047307, 4.168696], atol=1e-5)
+    # K is stored flat column-major; our intrinsic is its transpose
+    K = np.asarray(d.data_infos[0]['calib']['K']).reshape(3, 3).T
+    np.testing.assert_allclose(s['intrinsics'], K, atol=1e-6)
+
+
+@pytest.fixture()
+def nuscenes_ref_root(tmp_path):
+    root = str(tmp_path / 'nuscenes_ref')
+    with open('/root/reference/tests/data/nuscenes/nus_info.pkl', 'rb') as f:
+        data = pickle.load(f)
+    for info in data['infos']:
+        for i, (cam, ci) in enumerate(sorted(info['cams'].items())):
+            rel = os.path.join('samples', cam,
+                               os.path.basename(ci['data_path']))
+            ci['data_path'] = rel
+            _write_png(os.path.join(root, rel), 90, 160, seed=i)
+    with open(os.path.join(root, 'infos.pkl'), 'wb') as f:
+        pickle.dump(data, f)
+    return root
+
+
+def test_nuscenes_reads_reference_fixture_infos(nuscenes_ref_root):
+    """``tests/data/nuscenes/nus_info.pkl``: real 6-camera sensor2lidar
+    transforms + real GT through our lidar2img composition, car filter and
+    range filter."""
+    img_cfg = pl.ImagePipelineConfig(test_scale=(160, 90),
+                                     pad_size=(96, 160))
+    d = ds.NuScenesMultiViewDataset(
+        nuscenes_ref_root, os.path.join(nuscenes_ref_root, 'infos.pkl'),
+        ('car',), img_cfg, n_images=6, max_gt=32)
+    info = d.data_infos[0]
+    s = d.get_sample(0, train=True, rng=np.random.RandomState(0))
+    assert s['images'].shape == (6, 96, 160, 3)
+    assert s['extrinsics'].shape == (6, 4, 4)
+    np.testing.assert_allclose(s['origin'], [0, 0, -1], atol=1e-6)
+
+    # independent oracle for the kept-GT count: valid cars whose BEV center
+    # lies inside the reference point_cloud_range
+    names = np.asarray(info['gt_names'])
+    mask = np.asarray(info['num_lidar_pts']) > 0
+    if 'valid_flag' in info:
+        mask = np.asarray(info['valid_flag'])
+    boxes = np.asarray(info['gt_boxes'], np.float64)
+    cars = (names == 'car') & mask
+    in_range = (np.abs(boxes[:, 0]) < 49.92) & (np.abs(boxes[:, 1]) < 49.92)
+    assert s['gt_mask'].sum() == int((cars & in_range).sum()) > 0
+
+    # every kept car must project with positive depth into at least one of
+    # the real cameras' nominal 1600x900 frames (lidar2img composition check)
+    kept = np.asarray(s['gt_boxes'])[np.asarray(s['gt_mask'])]
+    for box in kept:
+        center = np.array([box[0], box[1], box[2] + box[5] / 2, 1.0])
+        seen = False
+        for v in range(6):
+            uvw = np.asarray(s['extrinsics'][v])[:3] @ center
+            if uvw[2] > 0.5:
+                uv = uvw[:2] / uvw[2]
+                if 0 <= uv[0] < 1600 and 0 <= uv[1] < 900:
+                    seen = True
+        assert seen, box
