@@ -15,11 +15,18 @@ what the published checkpoints saw via plain BN over the local batch — we keep
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from imvoxelnet_tpu.ops.conv3z_pallas import conv3z_lanepack
+
+# Plane-size threshold shared by both shallow-z conv specializations; tests
+# lower it to exercise the gates on CPU-sized volumes.
+_CONV3Z_MIN_PLANE = 16384
 
 
 class BN(nn.Module):
@@ -82,6 +89,16 @@ class Conv3x3x3(nn.Module):
             (3, 3, 3, x.shape[-1], self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        # Lane-packed Pallas kernel for the lane-bound 64->64 block0 convs
+        # (MXU output lanes half-filled; see ops/conv3z_pallas.py).  Opt-in
+        # via env until the hardware microbench justifies the default; the
+        # flag is read at trace time (same caveat as ops/iou.py:_use_pallas).
+        if (os.environ.get('IMVOXELNET_TPU_CONV3Z_PALLAS', '0') == '1'
+                and self.stride == (1, 1, 1) and self.padding == (1, 1, 1)
+                and x.shape[-1] == 64 and self.features == 64
+                and 6 <= x.shape[3] <= 16
+                and x.shape[1] * x.shape[2] >= _CONV3Z_MIN_PLANE):
+            return conv3z_lanepack(x, kernel)
         # Decompose only when the x/y plane is large enough for the skipped
         # z-pad MACs to dominate the extra conv launches + concat: measured
         # on hardware, KITTI block2 (216x248 plane, nz=3) gains +6.6%
@@ -89,7 +106,7 @@ class Conv3x3x3(nn.Module):
         # ~8% — small volumes are overhead-bound, not MAC-bound.
         if (self.stride == (1, 1, 1) and self.padding == (1, 1, 1)
                 and 3 <= x.shape[3] <= 4
-                and x.shape[1] * x.shape[2] >= 16384):
+                and x.shape[1] * x.shape[2] >= _CONV3Z_MIN_PLANE):
             return _conv3z_same(x, kernel)
         return jax.lax.conv_general_dilated(
             x, kernel, self.stride,
