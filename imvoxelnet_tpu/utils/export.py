@@ -1,0 +1,128 @@
+"""Ahead-of-time serving export: the jitted forward as a StableHLO artifact.
+
+The reference deploys by loading a torch checkpoint into a Python runtime
+(``mmdet3d/apis/inference.py:17-45`` ``init_detector``), so serving always
+drags the full model zoo, config system and Python along.  The TPU-native
+serving analog is an ahead-of-time export: ``jax.export`` lowers the jitted
+``simple_test`` forward once per target platform and serializes one
+self-describing StableHLO module that a JAX-less runtime (PjRt C API
+consumers, TensorFlow ``XlaCallModule``, IFRT serving proxies) can load,
+compile and execute without the Python model code.
+
+Two weight conventions:
+
+* **weights as inputs** (default) — the artifact holds only the program;
+  the serving runtime feeds the param pytree alongside the batch.  Params
+  hot-swap without re-exporting.
+* **weights baked** (``bake_variables=True``) — params are closed over and
+  become module constants; a single file deploys, at the cost of artifact
+  size and a re-export per checkpoint.
+
+Outputs are the fixed-shape detection dict of ``imvoxelnet_predict``
+(boxes/scores/labels padded to ``max_out``), so the serving contract is
+static — no host-side shape negotiation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def serving_batch_spec(data_cfg, model_cfg, batch_size: int = 1):
+    """ShapeDtypeStructs of the inference batch for a preset's test geometry.
+
+    Mirrors the batch layout of ``apis.inference_detector`` /
+    ``__graft_entry__._kitti_batch``: images come normalized + padded at the
+    preset's ``test_size``; one shared intrinsic per scene; per-view
+    extrinsics; metric grid origin; valid (h, w); resize ratio.
+    """
+    import jax
+
+    w, h = data_cfg.test_size
+    v = data_cfg.n_images_test
+    b = batch_size
+    f32, i32 = np.float32, np.int32
+    spec = jax.ShapeDtypeStruct
+    return dict(
+        images=spec((b, v, h, w, 3), f32),
+        intrinsics=spec((b, 3, 3), f32),
+        extrinsics=spec((b, v, 4, 4), f32),
+        origins=spec((b, 3), f32),
+        img_shape=spec((b, 2), i32),
+        ratios=spec((b,), f32),
+    )
+
+
+def make_serving_fn(model_cfg):
+    """The (variables, batch) -> detections function that gets exported.
+
+    Identical composition to ``apis.init_detector``'s jitted forward:
+    ``ImVoxelNet.apply(train=False)`` + ``imvoxelnet_predict`` (decode +
+    NMS in-graph, fixed-size outputs).
+    """
+    from ..models.detector import ImVoxelNet, imvoxelnet_predict
+
+    model = ImVoxelNet(model_cfg)
+    use_pred_ext = model_cfg.layout_head is not None
+
+    def forward(variables, batch):
+        outs = model.apply(variables, batch, train=False,
+                           use_predicted_extrinsics=use_pred_ext)
+        return imvoxelnet_predict(model_cfg, *outs, batch)
+
+    return forward
+
+
+def export_serving(model_cfg, batch_spec, variables,
+                   platforms: Optional[Sequence[str]] = None,
+                   bake_variables: bool = False):
+    """Export the serving forward; returns a ``jax.export.Exported``.
+
+    Args:
+      batch_spec: pytree of ``ShapeDtypeStruct`` (see ``serving_batch_spec``).
+      variables: the model variable pytree.  With ``bake_variables`` they are
+        embedded as constants; otherwise only their shapes/dtypes shape the
+        calling convention and the exported module takes ``(variables,
+        batch)``.
+      platforms: lowering targets, e.g. ``('tpu', 'cpu')``.  ``None`` lowers
+        for the current default backend only.  Cross-platform lowering needs
+        no target hardware — it is the point of the artifact.
+
+    Note: Pallas-gated fast paths (``ops/iou.py:_use_pallas``) select by the
+    default backend at trace time; a cross-platform export therefore always
+    traces the pure-XLA path, which is the portable (and for the shipped
+    presets, the actually-taken) one.
+    """
+    import jax
+    from jax import export as jexport
+
+    fn = make_serving_fn(model_cfg)
+    kwargs = {}
+    if platforms is not None:
+        kwargs['platforms'] = list(platforms)
+    if bake_variables:
+        baked = jax.tree_util.tree_map(np.asarray, variables)
+        return jexport.export(
+            jax.jit(functools.partial(fn, baked)), **kwargs)(batch_spec)
+    var_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+    return jexport.export(jax.jit(fn), **kwargs)(var_spec, batch_spec)
+
+
+def save_exported(exported, path: str) -> int:
+    """Serialize to ``path``; returns the byte size."""
+    data = bytes(exported.serialize())
+    with open(path, 'wb') as f:
+        f.write(data)
+    return len(data)
+
+
+def load_exported(path: str):
+    """Deserialize an artifact; run it via ``loaded.call(*args)``."""
+    from jax import export as jexport
+
+    with open(path, 'rb') as f:
+        return jexport.deserialize(bytearray(f.read()))

@@ -1,0 +1,117 @@
+"""Serving export: the StableHLO artifact reproduces the direct forward.
+
+The exported module (``utils/export.py``) is the deployment analog of the
+reference's ``init_detector``-based serving (``mmdet3d/apis/inference.py``):
+these tests pin that a serialized artifact, deserialized with no model code
+in scope, returns the same detections as ``ImVoxelNet.apply`` +
+``imvoxelnet_predict`` — for both weight conventions — and that the CLI
+plumbing reports a sane manifest.
+"""
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+import export as export_cli  # noqa: E402
+
+from __graft_entry__ import _kitti_batch  # noqa: E402
+from imvoxelnet_tpu.configs import presets as presets_mod  # noqa: E402
+from imvoxelnet_tpu.models.detector import ImVoxelNet  # noqa: E402
+from imvoxelnet_tpu.utils import export as export_lib  # noqa: E402
+from test_models import _tiny_indoor_cfg, _tiny_kitti_cfg  # noqa: E402
+
+
+def _specs_of(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    cfg = _tiny_kitti_cfg()
+    batch = _kitti_batch(b=1, v=1, h=64, w=64)
+    variables = ImVoxelNet(cfg).init(jax.random.PRNGKey(0), batch,
+                                     train=False)
+    return cfg, batch, variables
+
+
+def test_roundtrip_weights_as_inputs(tiny_model, tmp_path):
+    cfg, batch, variables = tiny_model
+    exported = export_lib.export_serving(cfg, _specs_of(batch), variables)
+    path = str(tmp_path / 'm.stablehlo')
+    size = export_lib.save_exported(exported, path)
+    assert size > 0
+
+    loaded = export_lib.load_exported(path)
+    got = loaded.call(variables, batch)
+    want = export_lib.make_serving_fn(cfg)(variables, batch)
+    assert set(got) == set(want)
+    assert {'boxes', 'scores', 'labels'} <= set(got)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_roundtrip_baked_weights(tiny_model, tmp_path):
+    cfg, batch, variables = tiny_model
+    exported = export_lib.export_serving(cfg, _specs_of(batch), variables,
+                                         bake_variables=True)
+    path = str(tmp_path / 'baked.stablehlo')
+    export_lib.save_exported(exported, path)
+    loaded = export_lib.load_exported(path)
+    got = loaded.call(batch)  # no variables at call time
+    want = export_lib.make_serving_fn(cfg)(variables, batch)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_cross_platform_lowering(tiny_model):
+    """A tpu+cpu artifact lowers from the CPU host (no TPU needed)."""
+    cfg, batch, variables = tiny_model
+    exported = export_lib.export_serving(
+        cfg, _specs_of(batch), variables, platforms=('tpu', 'cpu'))
+    assert set(exported.platforms) == {'tpu', 'cpu'}
+    # still executable on the CPU side of the artifact
+    got = jax.export.deserialize(exported.serialize()).call(variables, batch)
+    want = export_lib.make_serving_fn(cfg)(variables, batch)
+    np.testing.assert_allclose(np.asarray(got['scores']),
+                               np.asarray(want['scores']),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_indoor_layout_outputs(tmp_path):
+    """Total3D-style graphs export their extra angle/layout outputs."""
+    cfg = _tiny_indoor_cfg(layout=True)
+    batch = _kitti_batch(b=1, v=1, h=64, w=64)
+    variables = ImVoxelNet(cfg).init(jax.random.PRNGKey(0), batch,
+                                     train=False)
+    exported = export_lib.export_serving(cfg, _specs_of(batch), variables)
+    out = jax.tree_util.tree_unflatten(exported.out_tree,
+                                       exported.out_avals)
+    assert {'boxes', 'scores', 'labels', 'angles', 'layout'} <= set(out)
+
+
+def test_export_cli(monkeypatch, capsys, tmp_path):
+    preset = presets_mod.Preset(
+        name='tiny_kitti',
+        model=_tiny_kitti_cfg(),
+        data=presets_mod.DataConfig(
+            dataset='kitti', classes=('car',),
+            n_images_test=1, test_size=(64, 64)))
+    monkeypatch.setattr(presets_mod, 'get_preset', lambda name: preset)
+    out_path = str(tmp_path / 'cli.stablehlo')
+    monkeypatch.setattr(sys, 'argv', [
+        'export.py', 'tiny_kitti', '--out', out_path, '--verify'])
+    export_cli.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep['verified'] is True
+    assert rep['bytes'] == os.path.getsize(out_path)
+    assert rep['outputs']['boxes'][-1] == 7
+    assert rep['weights'] == 'inputs'

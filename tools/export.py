@@ -1,0 +1,99 @@
+"""Export a preset's serving forward as a StableHLO artifact.
+
+The deployment analog of the reference's ``tools/publish_model.py`` +
+``mmdet3d/apis/inference.py`` pair: instead of publishing a torch
+checkpoint that a Python runtime must re-interpret, this ahead-of-time
+exports the jitted ``simple_test`` forward (decode + NMS in-graph,
+fixed-size outputs) via ``jax.export`` into one self-describing module a
+JAX-less serving stack can compile and run.
+
+  python tools/export.py imvoxelnet_kitti --out kitti.stablehlo \
+      [--checkpoint ck.pkl | --torch-checkpoint ref.pth] \
+      [--batch-size 1] [--platforms tpu,cpu] [--bake-weights] [--verify]
+
+``--verify`` round-trips the artifact (deserialize + run on the current
+backend) and checks the detections against the direct ``model.apply``.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('preset', nargs='?', default='imvoxelnet_kitti')
+    parser.add_argument('--out', required=True)
+    parser.add_argument('--batch-size', type=int, default=1)
+    parser.add_argument('--checkpoint', default=None)
+    parser.add_argument('--torch-checkpoint', default=None)
+    parser.add_argument('--platforms', default=None,
+                        help='comma list, e.g. tpu,cpu (default: current '
+                             'backend only)')
+    parser.add_argument('--bake-weights', action='store_true',
+                        help='embed params as module constants (single-file '
+                             'deploy; artifact grows by the param bytes)')
+    parser.add_argument('--verify', action='store_true',
+                        help='deserialize + run on the current backend, '
+                             'check vs direct apply')
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _kitti_batch
+    from imvoxelnet_tpu.configs.presets import get_preset
+    from imvoxelnet_tpu.utils import checkpoint as ckpt_lib
+    from imvoxelnet_tpu.utils import export as export_lib
+
+    preset = get_preset(args.preset)
+    w, h = preset.data.test_size
+    batch = _kitti_batch(args.batch_size, preset.data.n_images_test, h, w)
+
+    if args.torch_checkpoint:
+        sd = ckpt_lib.load_torch_state_dict(args.torch_checkpoint)
+        variables = ckpt_lib.convert_reference_checkpoint(sd, preset.model)
+    elif args.checkpoint:
+        payload = ckpt_lib.load_checkpoint(args.checkpoint)
+        variables = {'params': payload['params'],
+                     'batch_stats': payload['batch_stats']}
+    else:
+        from imvoxelnet_tpu.models.detector import ImVoxelNet
+        variables = ImVoxelNet(preset.model).init(
+            jax.random.PRNGKey(0), batch, train=False)
+
+    platforms = args.platforms.split(',') if args.platforms else None
+    spec = export_lib.serving_batch_spec(preset.data, preset.model,
+                                         args.batch_size)
+    exported = export_lib.export_serving(
+        preset.model, spec, variables, platforms=platforms,
+        bake_variables=args.bake_weights)
+    size = export_lib.save_exported(exported, args.out)
+
+    verified = None
+    if args.verify:
+        loaded = export_lib.load_exported(args.out)
+        got = (loaded.call(batch) if args.bake_weights
+               else loaded.call(variables, batch))
+        want = export_lib.make_serving_fn(preset.model)(variables, batch)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       rtol=1e-5, atol=1e-5)
+        verified = True
+
+    print(json.dumps(dict(
+        preset=args.preset, out=args.out, bytes=size,
+        platforms=list(exported.platforms),
+        weights='baked' if args.bake_weights else 'inputs',
+        outputs={k: list(map(int, v.shape))
+                 for k, v in jax.tree_util.tree_unflatten(
+                     exported.out_tree, exported.out_avals).items()},
+        verified=verified)))
+
+
+if __name__ == '__main__':
+    main()
