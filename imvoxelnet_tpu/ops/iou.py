@@ -276,9 +276,16 @@ def _rect_intersection_area_jnp(corners1, corners2):
 
 @jax.custom_vjp
 def _rect_intersection_area_hybrid(corners1, corners2):
-    # primal (undifferentiated) trace — the inference NMS / eval matrices
+    # primal (undifferentiated) trace — the inference NMS / eval matrices.
+    # Compaction variant read at trace time (same caveat as _use_pallas:
+    # baked into jit caches); 'scatter' is the hardware-validated default,
+    # 'shift' the binary-shift network (bit-identical, fewer ops).
+    import os
+
     from . import iou_pallas
-    return iou_pallas.rect_intersection_area_pallas(corners1, corners2)
+    return iou_pallas.rect_intersection_area_pallas(
+        corners1, corners2,
+        compaction=os.environ.get('IMVOXELNET_TPU_CLIP_COMPACT', 'scatter'))
 
 
 def _hybrid_fwd(corners1, corners2):

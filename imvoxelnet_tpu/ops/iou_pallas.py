@@ -46,7 +46,8 @@ def _roll_up(a):
     return jnp.concatenate([a[1:], a[0:1]], axis=0)
 
 
-def _clip_kernel(c1x_ref, c1y_ref, c2x_ref, c2y_ref, out_ref):
+def _clip_kernel(c1x_ref, c1y_ref, c2x_ref, c2y_ref, out_ref, *,
+                 compaction: str = 'scatter'):
     c1x = c1x_ref[:].astype(jnp.float32)  # (4, T)
     c1y = c1y_ref[:].astype(jnp.float32)
     c2x = c2x_ref[:].astype(jnp.float32)
@@ -90,37 +91,81 @@ def _clip_kernel(c1x_ref, c1y_ref, c2x_ref, c2y_ref, out_ref):
         ix = vx + tt * (nvx - vx)
         iy = vy + tt * (nvy - vy)
 
-        n_emit = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
-        # exclusive cumsum over the 8 slots, hand-unrolled (static adds)
-        run = jnp.zeros((1, t), jnp.int32)
-        pos0_rows = []
-        for k in range(_SLOTS):
-            pos0_rows.append(run)
-            run = run + n_emit[k : k + 1]
-        pos0 = jnp.concatenate(pos0_rows, axis=0)
-        pos1 = pos0 + emit_cur.astype(jnp.int32)
+        if compaction == 'shift':
+            # Compaction as a 4-stage binary shift network instead of the
+            # 8x8 masked-sum scatter.  Candidates interleave in cyclic order
+            # (cur_0, int_0, cur_1, int_1, ...) into 16 sublanes; each valid
+            # candidate must move UP by disp = #invalid slots before it.
+            # Routing bit-by-bit LSB->MSB (shifts 1,2,4,8) is conflict-free
+            # for this monotone pack — proven exhaustively over all 2^16
+            # validity patterns (MSB-first collides, e.g. pattern
+            # 0000001000000010).  ~40 two-vreg ops replace ~450 one-vreg
+            # ops; packed slots are bit-identical, slots >= count hold stale
+            # values instead of zeros (every consumer is masked by `count`).
+            # Hardware comparison: tools/bench_iou_kernel.py sweeps both.
+            rows_x, rows_y, rows_v = [], [], []
+            for k in range(_SLOTS):
+                rows_x += [vx[k : k + 1], ix[k : k + 1]]
+                rows_y += [vy[k : k + 1], iy[k : k + 1]]
+                rows_v += [emit_cur[k : k + 1], emit_int[k : k + 1]]
+            cx = jnp.concatenate(rows_x, axis=0)       # (16, T)
+            cy = jnp.concatenate(rows_y, axis=0)
+            cv = jnp.concatenate(rows_v, axis=0)
+            inv = 1 - cv.astype(jnp.int32)
+            cum = inv  # inclusive cumsum over 16 sublanes, 4 log-steps
+            for s in (1, 2, 4, 8):
+                cum = cum + jnp.concatenate(
+                    [jnp.zeros((s, t), jnp.int32), cum[:-s]], axis=0)
+            disp = cum - inv  # exclusive: #invalid strictly before the slot
+            count = 2 * _SLOTS - cum[-1:]  # total valid = 16 - total invalid
+            for s in (1, 2, 4, 8):
+                move = ((disp & s) != 0) & cv
+                # arrival[k] <- element at k+s moves; bottom s rows get no
+                # arrival, so the wrapped filler rows are never selected
+                arr = jnp.concatenate(
+                    [move[s:], jnp.zeros((s, t), bool)], axis=0)
 
-        # compaction scatter as a static 8x8 unroll of masked sublane sums
-        m0 = emit_cur.astype(jnp.float32)
-        m1 = emit_int.astype(jnp.float32)
-        sx = m0 * vx
-        sy = m0 * vy
-        jx = m1 * ix
-        jy = m1 * iy
-        rows_x = []
-        rows_y = []
-        for k in range(_SLOTS):
-            w0 = pos0 == k
-            w1 = pos1 == k
-            rows_x.append(jnp.sum(
-                jnp.where(w0, sx, 0.0) + jnp.where(w1, jx, 0.0),
-                axis=0, keepdims=True))
-            rows_y.append(jnp.sum(
-                jnp.where(w0, sy, 0.0) + jnp.where(w1, jy, 0.0),
-                axis=0, keepdims=True))
-        vx = jnp.concatenate(rows_x, axis=0)
-        vy = jnp.concatenate(rows_y, axis=0)
-        count = run
+                def up(a, s=s):
+                    return jnp.concatenate([a[s:], a[:s]], axis=0)
+
+                cx = jnp.where(arr, up(cx), cx)
+                cy = jnp.where(arr, up(cy), cy)
+                disp = jnp.where(arr, up(disp), disp)
+                cv = arr | (cv & ~move)
+            vx = cx[:_SLOTS]
+            vy = cy[:_SLOTS]
+        else:
+            n_emit = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
+            # exclusive cumsum over the 8 slots, hand-unrolled (static adds)
+            run = jnp.zeros((1, t), jnp.int32)
+            pos0_rows = []
+            for k in range(_SLOTS):
+                pos0_rows.append(run)
+                run = run + n_emit[k : k + 1]
+            pos0 = jnp.concatenate(pos0_rows, axis=0)
+            pos1 = pos0 + emit_cur.astype(jnp.int32)
+
+            # compaction scatter as a static 8x8 unroll of masked sublane sums
+            m0 = emit_cur.astype(jnp.float32)
+            m1 = emit_int.astype(jnp.float32)
+            sx = m0 * vx
+            sy = m0 * vy
+            jx = m1 * ix
+            jy = m1 * iy
+            rows_x = []
+            rows_y = []
+            for k in range(_SLOTS):
+                w0 = pos0 == k
+                w1 = pos1 == k
+                rows_x.append(jnp.sum(
+                    jnp.where(w0, sx, 0.0) + jnp.where(w1, jx, 0.0),
+                    axis=0, keepdims=True))
+                rows_y.append(jnp.sum(
+                    jnp.where(w0, sy, 0.0) + jnp.where(w1, jy, 0.0),
+                    axis=0, keepdims=True))
+            vx = jnp.concatenate(rows_x, axis=0)
+            vy = jnp.concatenate(rows_y, axis=0)
+            count = run
 
     # shoelace: pad inactive slots with the first vertex to close the polygon
     active = slot < count
@@ -134,14 +179,15 @@ def _clip_kernel(c1x_ref, c1y_ref, c2x_ref, c2y_ref, out_ref):
     out_ref[:] = jnp.broadcast_to(area, (_SLOTS, t))
 
 
-@functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
-def _pallas_area_flat(c1x, c1y, c2x, c2y, *, tile: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=('tile', 'interpret', 'compaction'))
+def _pallas_area_flat(c1x, c1y, c2x, c2y, *, tile: int, interpret: bool,
+                      compaction: str = 'scatter'):
     p = c1x.shape[1]
     grid = p // tile
     spec_in = pl.BlockSpec((4, tile), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _clip_kernel,
+        functools.partial(_clip_kernel, compaction=compaction),
         grid=(grid,),
         in_specs=[spec_in] * 4,
         out_specs=pl.BlockSpec((_SLOTS, tile), lambda i: (0, i),
@@ -153,13 +199,18 @@ def _pallas_area_flat(c1x, c1y, c2x, c2y, *, tile: int, interpret: bool):
 
 
 def rect_intersection_area_pallas(corners1, corners2, *, tile: int = _TILE,
-                                  interpret: bool | None = None):
+                                  interpret: bool | None = None,
+                                  compaction: str = 'scatter'):
     """Exact rotated-rect intersection areas, Pallas TPU kernel.
 
     Same contract as ``iou.rect_intersection_area``: ``(..., 4, 2)`` corner
     arrays (broadcastable batch dims) -> ``(...,)`` fp32 areas.
     ``interpret=None`` auto-selects the Pallas interpreter off-TPU so the
-    kernel stays testable on the CPU mesh.
+    kernel stays testable on the CPU mesh.  ``compaction`` picks the
+    per-edge vertex pack: ``'scatter'`` (the hardware-validated 8x8
+    masked-sum unroll) or ``'shift'`` (the 4-stage binary shift network —
+    bit-identical areas, ~10x fewer compaction ops; default flips once the
+    hardware microbench confirms it, tools/bench_iou_kernel.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -178,5 +229,5 @@ def rect_intersection_area_pallas(corners1, corners2, *, tile: int = _TILE,
     c2y = jnp.pad(c2[:, :, 1].T, padw)
 
     area = _pallas_area_flat(c1x, c1y, c2x, c2y, tile=tile,
-                             interpret=interpret)
+                             interpret=interpret, compaction=compaction)
     return area[:p].reshape(batch)

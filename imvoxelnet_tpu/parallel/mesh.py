@@ -36,11 +36,8 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
-    if hasattr(jax, 'shard_map'):
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
-    from jax.experimental.shard_map import shard_map
-    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
 
 
 def view_sharded_forward(model, mesh: Mesh, axis_name: str = 'view'):

@@ -22,16 +22,32 @@ def _random_rects(rng, n):
     return np.concatenate([xy, wh, r], axis=1).astype(np.float32)
 
 
-def test_pallas_clip_matches_jnp_pairwise():
+@pytest.mark.parametrize('compaction', ['scatter', 'shift'])
+def test_pallas_clip_matches_jnp_pairwise(compaction):
     rng = np.random.RandomState(0)
     b1 = _random_rects(rng, 60)
     b2 = _random_rects(rng, 40)
     c1 = box_ops.bev_corners(jnp.asarray(b1))
     c2 = box_ops.bev_corners(jnp.asarray(b2))
     ref = iou_ops._rect_intersection_area_jnp(c1[:, None], c2[None, :])
-    got = rect_intersection_area_pallas(c1[:, None], c2[None, :])
+    got = rect_intersection_area_pallas(c1[:, None], c2[None, :],
+                                        compaction=compaction)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_shift_compaction_bit_identical_to_scatter():
+    """The shift network is a pure re-routing: areas must be bit-equal."""
+    rng = np.random.RandomState(7)
+    b1 = _random_rects(rng, 48)
+    b2 = _random_rects(rng, 48)
+    c1 = box_ops.bev_corners(jnp.asarray(b1))
+    c2 = box_ops.bev_corners(jnp.asarray(b2))
+    a_scatter = np.asarray(rect_intersection_area_pallas(
+        c1[:, None], c2[None, :], compaction='scatter'))
+    a_shift = np.asarray(rect_intersection_area_pallas(
+        c1[:, None], c2[None, :], compaction='shift'))
+    assert (a_scatter == a_shift).all()
 
 
 def test_pallas_clip_degenerate_cases():
@@ -129,7 +145,10 @@ def test_pallas_clip_compiled_parity_on_tpu():
     c1 = box_ops.bev_corners(jnp.asarray(b1))
     c2 = box_ops.bev_corners(jnp.asarray(b2))
     ref = iou_ops._rect_intersection_area_jnp(c1[:, None], c2[None, :])
-    got = rect_intersection_area_pallas(c1[:, None], c2[None, :],
-                                        interpret=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+    for compaction in ('scatter', 'shift'):
+        got = rect_intersection_area_pallas(c1[:, None], c2[None, :],
+                                            interpret=False,
+                                            compaction=compaction)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=compaction)

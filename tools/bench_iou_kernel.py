@@ -81,13 +81,16 @@ def main():
         return jnp.sum(
             iou_ops._rect_intersection_area_jnp(c1[:, None], c2[None, :]))
 
-    def pallas_pairwise(c1, c2):
-        return jnp.sum(rect_intersection_area_pallas(
-            c1[:, None], c2[None, :], tile=args.tile, interpret=False))
+    def make_pallas(compaction):
+        def pallas_pairwise(c1, c2):
+            return jnp.sum(rect_intersection_area_pallas(
+                c1[:, None], c2[None, :], tile=args.tile, interpret=False,
+                compaction=compaction))
+        return jax.jit(pallas_pairwise)
 
-    pallas_pairwise = jax.jit(pallas_pairwise)
-
-    impls = [('xla', xla_pairwise), ('pallas', pallas_pairwise)]
+    impls = [('xla', xla_pairwise),
+             ('pallas/scatter', make_pallas('scatter')),
+             ('pallas/shift', make_pallas('shift'))]
     if args.skip_xla:
         impls = impls[1:]
     for n in [int(s) for s in args.sizes.split(',')]:
