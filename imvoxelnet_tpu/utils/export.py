@@ -31,19 +31,29 @@ from typing import Optional, Sequence
 import numpy as np
 
 
-def serving_batch_spec(data_cfg, model_cfg, batch_size: int = 1):
+def serving_batch_spec(data_cfg, model_cfg, batch_size=1):
     """ShapeDtypeStructs of the inference batch for a preset's test geometry.
 
     Mirrors the batch layout of ``apis.inference_detector`` /
     ``__graft_entry__._kitti_batch``: images come normalized + padded at the
     preset's ``test_size``; one shared intrinsic per scene; per-view
     extrinsics; metric grid origin; valid (h, w); resize ratio.
+
+    ``batch_size=None`` exports batch-polymorphic: the leading dim becomes
+    the symbolic ``b`` (``jax.export.symbolic_shape``), so ONE artifact
+    serves any batch size — the serving runtime specializes at compile time.
+    Everything per-scene (grid, anchors, NMS) is batched, so the whole
+    detection graph stays shape-polymorphic in ``b``.
     """
     import jax
 
     w, h = data_cfg.test_size
     v = data_cfg.n_images_test
-    b = batch_size
+    if batch_size is None:
+        from jax import export as jexport
+        b = jexport.symbolic_shape('b')[0]
+    else:
+        b = batch_size
     f32, i32 = np.float32, np.int32
     spec = jax.ShapeDtypeStruct
     return dict(

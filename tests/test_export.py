@@ -98,6 +98,29 @@ def test_indoor_layout_outputs(tmp_path):
     assert {'boxes', 'scores', 'labels', 'angles', 'layout'} <= set(out)
 
 
+def test_poly_batch_serves_multiple_batch_sizes(tiny_model, tmp_path):
+    """One symbolic-batch artifact runs b=1 and b=3 and matches direct."""
+    cfg, _, variables = tiny_model
+    b = jax.export.symbolic_shape('b')[0]
+    one = _kitti_batch(b=1, v=1, h=64, w=64)
+    spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype), one)
+    exported = export_lib.export_serving(cfg, spec, variables)
+    path = str(tmp_path / 'poly.stablehlo')
+    export_lib.save_exported(exported, path)
+    loaded = export_lib.load_exported(path)
+    fn = export_lib.make_serving_fn(cfg)
+    for bs in (1, 3):
+        batch = _kitti_batch(b=bs, v=1, h=64, w=64)
+        got = loaded.call(variables, batch)
+        want = fn(variables, batch)
+        assert got['boxes'].shape[0] == bs
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_export_cli(monkeypatch, capsys, tmp_path):
     preset = presets_mod.Preset(
         name='tiny_kitti',
@@ -115,3 +138,12 @@ def test_export_cli(monkeypatch, capsys, tmp_path):
     assert rep['bytes'] == os.path.getsize(out_path)
     assert rep['outputs']['boxes'][-1] == 7
     assert rep['weights'] == 'inputs'
+
+    # polymorphic-batch export verifies too and reports the symbolic dim
+    monkeypatch.setattr(sys, 'argv', [
+        'export.py', 'tiny_kitti', '--out', out_path, '--poly-batch',
+        '--batch-size', '2', '--verify'])
+    export_cli.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep['verified'] is True
+    assert rep['outputs']['boxes'][0] == 'b'

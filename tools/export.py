@@ -28,6 +28,10 @@ def main():
     parser.add_argument('preset', nargs='?', default='imvoxelnet_kitti')
     parser.add_argument('--out', required=True)
     parser.add_argument('--batch-size', type=int, default=1)
+    parser.add_argument('--poly-batch', action='store_true',
+                        help='export with a symbolic batch dim: one '
+                             'artifact serves any batch size (--batch-size '
+                             'then only sizes the --verify run)')
     parser.add_argument('--checkpoint', default=None)
     parser.add_argument('--torch-checkpoint', default=None)
     parser.add_argument('--platforms', default=None,
@@ -66,8 +70,9 @@ def main():
             jax.random.PRNGKey(0), batch, train=False)
 
     platforms = args.platforms.split(',') if args.platforms else None
-    spec = export_lib.serving_batch_spec(preset.data, preset.model,
-                                         args.batch_size)
+    spec = export_lib.serving_batch_spec(
+        preset.data, preset.model,
+        None if args.poly_batch else args.batch_size)
     exported = export_lib.export_serving(
         preset.model, spec, variables, platforms=platforms,
         bake_variables=args.bake_weights)
@@ -89,7 +94,7 @@ def main():
         preset=args.preset, out=args.out, bytes=size,
         platforms=list(exported.platforms),
         weights='baked' if args.bake_weights else 'inputs',
-        outputs={k: list(map(int, v.shape))
+        outputs={k: [d if isinstance(d, int) else str(d) for d in v.shape]
                  for k, v in jax.tree_util.tree_unflatten(
                      exported.out_tree, exported.out_avals).items()},
         verified=verified)))
