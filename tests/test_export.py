@@ -121,6 +121,36 @@ def test_poly_batch_serves_multiple_batch_sizes(tiny_model, tmp_path):
                                        rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('preset_name', [
+    'imvoxelnet_kitti',            # anchor3d graph
+    'imvoxelnet_nuscenes',         # DCN backbone
+    'imvoxelnet_sunrgbd',          # indoor v1 head
+    'imvoxelnet_scannet_fast',     # fast neck, v2 head, 50-view
+    'imvoxelnet_total_sunrgbd',    # layout head (+angles/layout outputs)
+])
+def test_full_preset_graph_lowers_for_tpu(preset_name):
+    """Every production graph family exports poly-batch for tpu+cpu.
+
+    Spec-only (eval_shape init + trace + lowering, no execution), so this
+    pins that the FULL flagship graphs — not just tiny replicas — are
+    exportable serving artifacts; sizes/latencies in docs/design.md.
+    """
+    batch_lib = pytest.importorskip('__graft_entry__')
+    preset = presets_mod.get_preset(preset_name)
+    model = ImVoxelNet(preset.model)
+    w, h = preset.data.test_size
+    batch = batch_lib._kitti_batch(1, preset.data.n_images_test, h, w)
+    variables = jax.eval_shape(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False), batch)
+    spec = export_lib.serving_batch_spec(preset.data, preset.model, None)
+    exported = export_lib.export_serving(preset.model, spec, variables,
+                                         platforms=('tpu', 'cpu'))
+    assert set(exported.platforms) == {'tpu', 'cpu'}
+    out = jax.tree_util.tree_unflatten(exported.out_tree, exported.out_avals)
+    assert {'boxes', 'scores', 'labels'} <= set(out)
+    assert len(bytes(exported.serialize())) > 0
+
+
 def test_export_cli(monkeypatch, capsys, tmp_path):
     preset = presets_mod.Preset(
         name='tiny_kitti',
