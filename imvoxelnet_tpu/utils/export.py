@@ -66,14 +66,39 @@ def serving_batch_spec(data_cfg, model_cfg, batch_size=1):
     )
 
 
-def make_serving_fn(model_cfg):
+def make_serving_fn(model_cfg, view_mesh=None):
     """The (variables, batch) -> detections function that gets exported.
 
     Identical composition to ``apis.init_detector``'s jitted forward:
     ``ImVoxelNet.apply(train=False)`` + ``imvoxelnet_predict`` (decode +
     NMS in-graph, fixed-size outputs).
+
+    With ``view_mesh`` (a 1-D ``jax.sharding.Mesh``) the forward runs
+    view-sharded: backbone + FPN + voxel gather on each device's view
+    shard, psum-pooled volume, replicated neck/head — the multi-chip
+    serving composition for the 50-view ScanNet test.  The artifact then
+    records ``nr_devices == mesh.size`` and must be called with
+    mesh-committed arguments (images/extrinsics sharded over the view
+    axis).  Mathematically identical to the unsharded detector.
     """
+    import dataclasses
+
     from ..models.detector import ImVoxelNet, imvoxelnet_predict
+
+    if view_mesh is not None:
+        from ..parallel import mesh as mesh_lib
+
+        axis = view_mesh.axis_names[0]
+        model_sh = ImVoxelNet(
+            dataclasses.replace(model_cfg, view_shard_axis=axis))
+        sharded_apply = mesh_lib.view_sharded_forward(
+            model_sh, view_mesh, axis_name=axis)
+
+        def forward_sharded(variables, batch):
+            outs = sharded_apply(variables, batch)
+            return imvoxelnet_predict(model_cfg, *outs, batch)
+
+        return forward_sharded
 
     model = ImVoxelNet(model_cfg)
     use_pred_ext = model_cfg.layout_head is not None
@@ -88,7 +113,8 @@ def make_serving_fn(model_cfg):
 
 def export_serving(model_cfg, batch_spec, variables,
                    platforms: Optional[Sequence[str]] = None,
-                   bake_variables: bool = False):
+                   bake_variables: bool = False,
+                   view_mesh=None):
     """Export the serving forward; returns a ``jax.export.Exported``.
 
     Args:
@@ -100,6 +126,8 @@ def export_serving(model_cfg, batch_spec, variables,
       platforms: lowering targets, e.g. ``('tpu', 'cpu')``.  ``None`` lowers
         for the current default backend only.  Cross-platform lowering needs
         no target hardware — it is the point of the artifact.
+      view_mesh: optional 1-D mesh for a multi-device view-sharded artifact
+        (see ``make_serving_fn``).
 
     Note: Pallas-gated fast paths (``ops/iou.py:_use_pallas``) select by the
     default backend at trace time; a cross-platform export therefore always
@@ -109,7 +137,7 @@ def export_serving(model_cfg, batch_spec, variables,
     import jax
     from jax import export as jexport
 
-    fn = make_serving_fn(model_cfg)
+    fn = make_serving_fn(model_cfg, view_mesh=view_mesh)
     kwargs = {}
     if platforms is not None:
         kwargs['platforms'] = list(platforms)

@@ -151,6 +151,38 @@ def test_full_preset_graph_lowers_for_tpu(preset_name):
     assert len(bytes(exported.serialize())) > 0
 
 
+def test_view_sharded_export_roundtrip(tmp_path):
+    """An 8-device view-sharded artifact matches the unsharded detector."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imvoxelnet_tpu.parallel import mesh as mesh_lib
+
+    cfg = _tiny_indoor_cfg(dataset='scannet', fast=True)
+    batch = _kitti_batch(b=1, v=8, h=64, w=64)
+    variables = ImVoxelNet(cfg).init(jax.random.PRNGKey(0), batch,
+                                     train=False)
+    vmesh = mesh_lib.make_mesh(axis_name='view')
+    assert vmesh.size == 8  # conftest's virtual CPU mesh
+    exported = export_lib.export_serving(
+        cfg, _specs_of(batch), variables, view_mesh=vmesh)
+    assert exported.nr_devices == 8
+    path = str(tmp_path / 'sharded.stablehlo')
+    export_lib.save_exported(exported, path)
+    loaded = export_lib.load_exported(path)
+
+    rep = NamedSharding(vmesh, P())
+    v_dev = jax.device_put(variables, rep)
+    b_dev = {k: jax.device_put(
+        v, NamedSharding(vmesh, P(None, 'view'))
+        if k in ('images', 'extrinsics') else rep)
+        for k, v in batch.items()}
+    got = jax.jit(loaded.call)(v_dev, b_dev)
+    want = export_lib.make_serving_fn(cfg)(variables, batch)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_export_cli(monkeypatch, capsys, tmp_path):
     preset = presets_mod.Preset(
         name='tiny_kitti',
@@ -177,3 +209,21 @@ def test_export_cli(monkeypatch, capsys, tmp_path):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep['verified'] is True
     assert rep['outputs']['boxes'][0] == 'b'
+
+
+def test_export_cli_view_sharded(monkeypatch, capsys, tmp_path):
+    preset = presets_mod.Preset(
+        name='tiny_scannet',
+        model=_tiny_indoor_cfg(dataset='scannet', fast=True),
+        data=presets_mod.DataConfig(
+            dataset='scannet', classes=('a', 'b', 'c'),
+            n_images_test=8, test_size=(64, 64)))
+    monkeypatch.setattr(presets_mod, 'get_preset', lambda name: preset)
+    out_path = str(tmp_path / 'sharded_cli.stablehlo')
+    monkeypatch.setattr(sys, 'argv', [
+        'export.py', 'tiny_scannet', '--out', out_path, '--view-sharded',
+        '--verify'])
+    export_cli.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep['verified'] is True
+    assert rep['devices'] == 8

@@ -40,10 +40,17 @@ def main():
     parser.add_argument('--bake-weights', action='store_true',
                         help='embed params as module constants (single-file '
                              'deploy; artifact grows by the param bytes)')
+    parser.add_argument('--view-sharded', action='store_true',
+                        help='multi-device artifact: view axis sharded over '
+                             'all local devices (backbone/FPN/gather per '
+                             'shard, psum pool; exact match to unsharded)')
     parser.add_argument('--verify', action='store_true',
                         help='deserialize + run on the current backend, '
                              'check vs direct apply')
     args = parser.parse_args()
+    if args.view_sharded and args.poly_batch:
+        parser.error('--view-sharded and --poly-batch are mutually '
+                     'exclusive (shard_map needs concrete shapes)')
 
     import jax
     import numpy as np
@@ -69,20 +76,39 @@ def main():
         variables = ImVoxelNet(preset.model).init(
             jax.random.PRNGKey(0), batch, train=False)
 
+    view_mesh = None
+    if args.view_sharded:
+        from imvoxelnet_tpu.parallel import mesh as mesh_lib
+        view_mesh = mesh_lib.make_mesh(axis_name='view')
+        if preset.data.n_images_test % view_mesh.size:
+            parser.error(f'n_images_test={preset.data.n_images_test} must '
+                         f'divide over {view_mesh.size} devices')
+
     platforms = args.platforms.split(',') if args.platforms else None
     spec = export_lib.serving_batch_spec(
         preset.data, preset.model,
         None if args.poly_batch else args.batch_size)
     exported = export_lib.export_serving(
         preset.model, spec, variables, platforms=platforms,
-        bake_variables=args.bake_weights)
+        bake_variables=args.bake_weights, view_mesh=view_mesh)
     size = export_lib.save_exported(exported, args.out)
 
     verified = None
     if args.verify:
         loaded = export_lib.load_exported(args.out)
-        got = (loaded.call(batch) if args.bake_weights
-               else loaded.call(variables, batch))
+        call_vars, call_batch = variables, batch
+        if view_mesh is not None:
+            # a multi-device artifact needs mesh-committed arguments
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(view_mesh, P())
+            call_vars = jax.device_put(variables, rep)
+            call_batch = {
+                k: jax.device_put(
+                    v, NamedSharding(view_mesh, P(None, 'view'))
+                    if k in ('images', 'extrinsics') else rep)
+                for k, v in batch.items()}
+        got = (jax.jit(loaded.call)(call_batch) if args.bake_weights
+               else jax.jit(loaded.call)(call_vars, call_batch))
         want = export_lib.make_serving_fn(preset.model)(variables, batch)
         for k in want:
             np.testing.assert_allclose(np.asarray(got[k]),
@@ -93,6 +119,7 @@ def main():
     print(json.dumps(dict(
         preset=args.preset, out=args.out, bytes=size,
         platforms=list(exported.platforms),
+        devices=exported.nr_devices,
         weights='baked' if args.bake_weights else 'inputs',
         outputs={k: [d if isinstance(d, int) else str(d) for d in v.shape]
                  for k, v in jax.tree_util.tree_unflatten(
