@@ -114,7 +114,7 @@ def make_serving_fn(model_cfg, view_mesh=None):
 def export_serving(model_cfg, batch_spec, variables,
                    platforms: Optional[Sequence[str]] = None,
                    bake_variables: bool = False,
-                   view_mesh=None):
+                   view_mesh=None, data_mesh=None):
     """Export the serving forward; returns a ``jax.export.Exported``.
 
     Args:
@@ -128,6 +128,10 @@ def export_serving(model_cfg, batch_spec, variables,
         no target hardware — it is the point of the artifact.
       view_mesh: optional 1-D mesh for a multi-device view-sharded artifact
         (see ``make_serving_fn``).
+      data_mesh: optional 1-D mesh for a throughput-serving artifact: the
+        batch axis GSPMD-sharded over the mesh, params replicated, outputs
+        batch-sharded.  Mutually exclusive with ``view_mesh``; call with
+        mesh-committed arguments.
 
     Note: Pallas-gated fast paths (``ops/iou.py:_use_pallas``) select by the
     default backend at trace time; a cross-platform export therefore always
@@ -137,17 +141,34 @@ def export_serving(model_cfg, batch_spec, variables,
     import jax
     from jax import export as jexport
 
+    assert view_mesh is None or data_mesh is None, (
+        'view_mesh and data_mesh are mutually exclusive')
     fn = make_serving_fn(model_cfg, view_mesh=view_mesh)
+
+    def jit_with_shardings(f, n_batch_args):
+        if data_mesh is None:
+            return jax.jit(f)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(data_mesh, P())
+        dp = jax.tree_util.tree_map(
+            lambda _: NamedSharding(data_mesh, P(data_mesh.axis_names[0])),
+            batch_spec)
+        in_sh = (dp,) if n_batch_args == 1 else (rep, dp)
+        return jax.jit(f, in_shardings=in_sh, out_shardings=dp['images'])
+
     kwargs = {}
     if platforms is not None:
         kwargs['platforms'] = list(platforms)
     if bake_variables:
         baked = jax.tree_util.tree_map(np.asarray, variables)
         return jexport.export(
-            jax.jit(functools.partial(fn, baked)), **kwargs)(batch_spec)
+            jit_with_shardings(functools.partial(fn, baked), 1),
+            **kwargs)(batch_spec)
     var_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
-    return jexport.export(jax.jit(fn), **kwargs)(var_spec, batch_spec)
+    return jexport.export(jit_with_shardings(fn, 2),
+                          **kwargs)(var_spec, batch_spec)
 
 
 def save_exported(exported, path: str) -> int:

@@ -183,6 +183,32 @@ def test_view_sharded_export_roundtrip(tmp_path):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_data_sharded_export_roundtrip(tiny_model, tmp_path):
+    """A GSPMD batch-sharded artifact matches the single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imvoxelnet_tpu.parallel import mesh as mesh_lib
+
+    cfg, _, variables = tiny_model
+    batch = _kitti_batch(b=8, v=1, h=64, w=64)
+    mesh = mesh_lib.make_mesh(axis_name='data')
+    exported = export_lib.export_serving(
+        cfg, _specs_of(batch), variables, data_mesh=mesh)
+    assert exported.nr_devices == 8
+    path = str(tmp_path / 'dp.stablehlo')
+    export_lib.save_exported(exported, path)
+    loaded = export_lib.load_exported(path)
+
+    dp = NamedSharding(mesh, P('data'))
+    v_dev = jax.device_put(variables, NamedSharding(mesh, P()))
+    b_dev = jax.tree_util.tree_map(lambda x: jax.device_put(x, dp), batch)
+    got = jax.jit(loaded.call)(v_dev, b_dev)
+    want = export_lib.make_serving_fn(cfg)(variables, batch)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_export_cli(monkeypatch, capsys, tmp_path):
     preset = presets_mod.Preset(
         name='tiny_kitti',
@@ -227,3 +253,22 @@ def test_export_cli_view_sharded(monkeypatch, capsys, tmp_path):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep['verified'] is True
     assert rep['devices'] == 8
+
+
+def test_export_cli_data_sharded(monkeypatch, capsys, tmp_path):
+    preset = presets_mod.Preset(
+        name='tiny_kitti',
+        model=_tiny_kitti_cfg(),
+        data=presets_mod.DataConfig(
+            dataset='kitti', classes=('car',),
+            n_images_test=1, test_size=(64, 64)))
+    monkeypatch.setattr(presets_mod, 'get_preset', lambda name: preset)
+    out_path = str(tmp_path / 'dp_cli.stablehlo')
+    monkeypatch.setattr(sys, 'argv', [
+        'export.py', 'tiny_kitti', '--out', out_path, '--data-sharded',
+        '--batch-size', '8', '--verify'])
+    export_cli.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep['verified'] is True
+    assert rep['devices'] == 8
+    assert rep['outputs']['boxes'][0] == 8

@@ -44,13 +44,17 @@ def main():
                         help='multi-device artifact: view axis sharded over '
                              'all local devices (backbone/FPN/gather per '
                              'shard, psum pool; exact match to unsharded)')
+    parser.add_argument('--data-sharded', action='store_true',
+                        help='multi-device throughput artifact: batch axis '
+                             'GSPMD-sharded over all local devices')
     parser.add_argument('--verify', action='store_true',
                         help='deserialize + run on the current backend, '
                              'check vs direct apply')
     args = parser.parse_args()
-    if args.view_sharded and args.poly_batch:
-        parser.error('--view-sharded and --poly-batch are mutually '
-                     'exclusive (shard_map needs concrete shapes)')
+    if sum([args.view_sharded, args.data_sharded, args.poly_batch]) > 1:
+        parser.error('--view-sharded / --data-sharded / --poly-batch are '
+                     'mutually exclusive (sharded programs need concrete '
+                     'shapes and one sharding)')
 
     import jax
     import numpy as np
@@ -76,13 +80,19 @@ def main():
         variables = ImVoxelNet(preset.model).init(
             jax.random.PRNGKey(0), batch, train=False)
 
-    view_mesh = None
+    view_mesh = data_mesh = None
     if args.view_sharded:
         from imvoxelnet_tpu.parallel import mesh as mesh_lib
         view_mesh = mesh_lib.make_mesh(axis_name='view')
         if preset.data.n_images_test % view_mesh.size:
             parser.error(f'n_images_test={preset.data.n_images_test} must '
                          f'divide over {view_mesh.size} devices')
+    if args.data_sharded:
+        from imvoxelnet_tpu.parallel import mesh as mesh_lib
+        data_mesh = mesh_lib.make_mesh(axis_name='data')
+        if args.batch_size % data_mesh.size:
+            parser.error(f'--batch-size {args.batch_size} must divide over '
+                         f'{data_mesh.size} devices')
 
     platforms = args.platforms.split(',') if args.platforms else None
     spec = export_lib.serving_batch_spec(
@@ -90,16 +100,18 @@ def main():
         None if args.poly_batch else args.batch_size)
     exported = export_lib.export_serving(
         preset.model, spec, variables, platforms=platforms,
-        bake_variables=args.bake_weights, view_mesh=view_mesh)
+        bake_variables=args.bake_weights, view_mesh=view_mesh,
+        data_mesh=data_mesh)
     size = export_lib.save_exported(exported, args.out)
 
     verified = None
     if args.verify:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         loaded = export_lib.load_exported(args.out)
         call_vars, call_batch = variables, batch
         if view_mesh is not None:
             # a multi-device artifact needs mesh-committed arguments
-            from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(view_mesh, P())
             call_vars = jax.device_put(variables, rep)
             call_batch = {
@@ -107,6 +119,12 @@ def main():
                     v, NamedSharding(view_mesh, P(None, 'view'))
                     if k in ('images', 'extrinsics') else rep)
                 for k, v in batch.items()}
+        if data_mesh is not None:
+            dp = NamedSharding(data_mesh, P('data'))
+            call_vars = jax.device_put(variables,
+                                       NamedSharding(data_mesh, P()))
+            call_batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dp), batch)
         got = (jax.jit(loaded.call)(call_batch) if args.bake_weights
                else jax.jit(loaded.call)(call_vars, call_batch))
         want = export_lib.make_serving_fn(preset.model)(variables, batch)
