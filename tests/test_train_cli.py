@@ -74,6 +74,18 @@ def test_train_then_test_cli(kitti4_root, tmp_path, monkeypatch, capsys):
     for v in metrics.values():
         assert np.isfinite(v)
 
+    # the trained checkpoint deploys: export CLI loads it, serializes the
+    # serving artifact and verifies the roundtrip against direct apply
+    export_cli = _load_tool('export')
+    artifact = str(tmp_path / 'trained.stablehlo')
+    monkeypatch.setattr(sys, 'argv', [
+        'export.py', 'tiny_kitti_test', '--out', artifact,
+        '--checkpoint', ckpt, '--verify'])
+    export_cli.main()
+    out = capsys.readouterr().out
+    rep = json.loads(out[out.index('{'):])
+    assert rep['verified'] is True and rep['bytes'] > 0
+
     # auto-resume: a second run with --epochs 2 must pick up latest.ckpt at
     # epoch 1 and train only the remaining epoch
     monkeypatch.setattr(sys, 'argv', [
