@@ -674,3 +674,266 @@ def test_indoor_v1_loss_value_parity(dataset, topk):
         np.testing.assert_allclose(
             float(ours[k]), theirs[k], rtol=5e-4, atol=2e-5,
             err_msg=f'{dataset} topk={topk}: {k}')
+
+
+# ---------------------------------------------------------------------------
+# Indoor v2 heads (``imvoxel_head_v2.py``): torch target + loss replica.
+# Differences from v1 replicated here: the scale-limit assignment (coarsest
+# scale holding >= ``limit`` inside-points per box, ``imvoxel_head_v2.py:
+# 357-374``), the mandatory ``topk(k + 1)`` centerness rule (:376-381), and
+# ``-1`` background labels with positives = ``labels >= 0 & valid`` (:170-184).
+# The loss composition itself (focal / BCE / centerness-weighted IoU) is v1's.
+# ---------------------------------------------------------------------------
+
+def torch_indoor_targets_v2(points_cat, scales_cat, gt, gt_labels, topk,
+                            limit, n_scales, with_yaw):
+    """v2 ``get_targets`` (``imvoxel_head_v2.py:322-399`` SunRGBD,
+    ``:458-526`` ScanNet).  Returns labels with -1 as background."""
+    n_points = points_cat.shape[0]
+    g = gt.shape[0]
+    gravity = gt.clone()
+    gravity[:, 2] = gt[:, 2] + gt[:, 5] / 2
+    volumes = (gt[:, 3] * gt[:, 4] * gt[:, 5]).expand(n_points, g).clone()
+    boxes_e = gravity[None].expand(n_points, g, 7)
+    pts_e = points_cat[:, None, :].expand(n_points, g, 3)
+
+    if with_yaw:
+        shift = (pts_e - boxes_e[..., :3]).permute(1, 0, 2)   # (G, P, 3)
+        shift = _rot_z(shift, -gravity[:, 6]).permute(1, 0, 2)
+        centers = boxes_e[..., :3] + shift
+    else:
+        centers = pts_e
+    dx_min = centers[..., 0] - boxes_e[..., 0] + boxes_e[..., 3] / 2
+    dx_max = boxes_e[..., 0] + boxes_e[..., 3] / 2 - centers[..., 0]
+    dy_min = centers[..., 1] - boxes_e[..., 1] + boxes_e[..., 4] / 2
+    dy_max = boxes_e[..., 1] + boxes_e[..., 4] / 2 - centers[..., 1]
+    dz_min = centers[..., 2] - boxes_e[..., 2] + boxes_e[..., 5] / 2
+    dz_max = boxes_e[..., 2] + boxes_e[..., 5] / 2 - centers[..., 2]
+    face = [dx_min, dx_max, dy_min, dy_max, dz_min, dz_max]
+    if with_yaw:
+        bt = torch.stack(face + [boxes_e[..., 6]], dim=-1)
+    else:
+        bt = torch.stack(face, dim=-1)
+
+    inside = bt[..., :6].min(-1)[0] > 0                       # (P, G)
+
+    # condition2: coarsest scale with >= limit positive points per box,
+    # via the reference's argmax-with-extra trick (imvoxel_head_v2.py:362-374)
+    n_pos_per_scale = torch.stack([
+        inside[scales_cat == i].sum(dim=0) for i in range(n_scales)])
+    lower_limit_mask = n_pos_per_scale < limit                # (S, G)
+    extra = torch.arange(n_scales, 0, -1).unsqueeze(1).expand(n_scales, g)
+    lower_index = torch.argmax(lower_limit_mask.int() * extra, dim=0) - 1
+    lower_index = torch.where(lower_index < 0,
+                              torch.zeros_like(lower_index), lower_index)
+    all_upper = torch.all(torch.logical_not(lower_limit_mask), dim=0)
+    best_scale = torch.where(
+        all_upper, torch.ones_like(lower_index) * (n_scales - 1), lower_index)
+    in_best = scales_cat[:, None] == best_scale[None, :]      # (P, G)
+
+    # condition3: strictly above the (k+1)-th centerness
+    cness = torch_compute_centerness(bt)
+    cness = torch.where(inside, cness, torch.full_like(cness, -1))
+    cness = torch.where(in_best, cness, torch.full_like(cness, -1))
+    top = torch.topk(cness, topk + 1, dim=0).values[-1]
+    in_top = cness > top[None]
+
+    volumes[inside == 0] = INF
+    volumes[in_best == 0] = INF
+    volumes[in_top == 0] = INF
+    min_vol, min_inds = volumes.min(dim=1)
+    labels = gt_labels[min_inds].clone()
+    labels[min_vol == INF] = -1
+    idx = torch.arange(n_points)
+    assigned = bt[idx, min_inds]
+    centerness_t = torch_compute_centerness(assigned)
+    if with_yaw:
+        bbox_t = gravity[None].expand(n_points, g, 7)[idx, min_inds]
+    else:
+        bbox_t = torch_scannet_pred_to_bbox(points_cat, assigned)
+    return centerness_t, bbox_t, labels
+
+
+def torch_indoor_v2_loss_single(center, bbox, cls, valid, points, scales, gt,
+                                gt_labels, cfg):
+    """``ImVoxelHeadV2._loss_single`` (``imvoxel_head_v2.py:115-203``),
+    one image, world=1."""
+    centerness_t, bbox_t, labels = torch_indoor_targets_v2(
+        points, scales, gt, gt_labels, cfg.centerness_topk, cfg.limit,
+        cfg.n_scales, cfg.with_yaw)
+    pos = (labels >= 0) & valid
+    pos_inds = torch.nonzero(pos).reshape(-1)
+    n_pos = max(float(len(pos_inds)), 1.0)
+
+    # mmcv's CUDA focal kernel treats labels outside [0, C) as background;
+    # the replica maps -1 -> C for the one-hot
+    cls_labels = torch.where(labels >= 0, labels,
+                             torch.full_like(labels, cfg.n_classes))
+    loss_cls = torch_focal_loss(cls[valid], cls_labels[valid], None, n_pos)
+
+    if len(pos_inds) > 0:
+        pos_c_t = centerness_t[pos_inds]
+        loss_center = torch_bce(center[pos_inds], pos_c_t, n_pos)
+        if cfg.with_yaw:
+            pred = torch_sunrgbd_pred_to_bbox(points[pos_inds],
+                                              bbox[pos_inds])
+            per = np.array([np_iou_3d(p, t) for p, t in zip(
+                pred.detach().numpy().astype(np.float64),
+                bbox_t[pos_inds].numpy().astype(np.float64))])
+        else:
+            pred = torch_scannet_pred_to_bbox(points[pos_inds],
+                                              bbox[pos_inds])
+            per = np.array([_np_axis_aligned_iou(p, t) for p, t in zip(
+                pred.detach().numpy().astype(np.float64),
+                bbox_t[pos_inds].numpy().astype(np.float64))])
+        w = pos_c_t.numpy().astype(np.float64)
+        loss_bbox = float(((1.0 - per) * w).sum() / w.sum())
+    else:
+        loss_center = center[pos_inds].sum()
+        loss_bbox = bbox[pos_inds].sum()
+    return float(loss_center), float(loss_bbox), float(loss_cls)
+
+
+def _indoor_v2_cfg(dataset, topk, limit):
+    return IndoorHeadConfig(
+        n_classes=4, n_reg_outs=7 if dataset == 'sunrgbd' else 6,
+        voxel_size=(.4, .4, .4), dataset=dataset, version=2,
+        centerness_topk=topk, limit=limit)
+
+
+@pytest.mark.parametrize('dataset,topk,limit', [
+    ('sunrgbd', 18, 27),     # shipped _fast knobs (imvoxelnet_sunrgbd_fast)
+    ('sunrgbd', 12, 6),      # low limit: boxes land on coarser scales
+    ('scannet', 18, 27),
+    ('scannet', 12, 6),
+])
+def test_indoor_v2_loss_value_parity(dataset, topk, limit):
+    cfg = _indoor_v2_cfg(dataset, topk, limit)
+    n_voxels = (8, 8, 4)
+    b = 2
+    (head_outs, valid, origins, gtb, gtl, gtm, sizes) = _random_indoor_batch(
+        cfg, n_voxels, b, (6, 3), seed=23 + topk + limit)
+
+    ours = jax.jit(lambda ho, v, o, bx, lb, m: ih.indoor_head_loss(
+        ho, v, o, bx, lb, m, cfg))(
+        head_outs, valid, origins, gtb, gtl, gtm)
+
+    scales_cat = torch.cat([
+        torch.full((int(np.prod(sizes[i])),), i, dtype=torch.long)
+        for i in range(3)])
+    per_losses = []
+    for i in range(b):
+        pts = torch.cat(torch_mlvl_points(sizes, cfg.voxel_size, origins[i]))
+        vt = torch.tensor(valid[i][None, None].astype(np.float32))
+        valid_lv = [torch.nn.Upsample(size=s, mode='trilinear')(vt)
+                    .round().bool().reshape(-1) for s in sizes]
+        center = torch.cat([torch.tensor(head_outs[0][lv][i]).reshape(-1)
+                            for lv in range(3)])
+        bbox = torch.cat([
+            torch.tensor(head_outs[1][lv][i]).reshape(-1, cfg.n_reg_outs)
+            for lv in range(3)])
+        cls = torch.cat([
+            torch.tensor(head_outs[2][lv][i]).reshape(-1, cfg.n_classes)
+            for lv in range(3)])
+        gt = torch.tensor(gtb[i][gtm[i]])
+        gl = torch.tensor(gtl[i][gtm[i]], dtype=torch.long)
+        per_losses.append(torch_indoor_v2_loss_single(
+            center, bbox, cls, torch.cat(valid_lv), pts, scales_cat, gt, gl,
+            cfg))
+    theirs = dict(
+        loss_centerness=np.mean([p[0] for p in per_losses]),
+        loss_bbox=np.mean([p[1] for p in per_losses]),
+        loss_cls=np.mean([p[2] for p in per_losses]))
+
+    assert theirs['loss_bbox'] > 0       # nontrivial positives
+    for k in ('loss_centerness', 'loss_bbox', 'loss_cls'):
+        np.testing.assert_allclose(
+            float(ours[k]), theirs[k], rtol=5e-4, atol=2e-5,
+            err_msg=f'{dataset} v2 topk={topk} limit={limit}: {k}')
+
+
+def test_indoor_v2_scale_assignment_nontrivial():
+    """Guard: the low-limit v2 case really exercises condition2 (some GT
+    assigned to a scale > 0), otherwise the parametrization above would
+    silently only test the v1-equivalent path."""
+    cfg = _indoor_v2_cfg('scannet', 12, 6)
+    n_voxels = (8, 8, 4)
+    (_, _, origins, gtb, gtl, gtm, sizes) = _random_indoor_batch(
+        cfg, n_voxels, 2, (6, 3), seed=23 + 12 + 6)
+    scales_cat = torch.cat([
+        torch.full((int(np.prod(sizes[i])),), i, dtype=torch.long)
+        for i in range(3)])
+    best_scales = []
+    for i in range(2):
+        pts = torch.cat(torch_mlvl_points(sizes, cfg.voxel_size, origins[i]))
+        gt = torch.tensor(gtb[i][gtm[i]])
+        _, _, labels = torch_indoor_targets_v2(
+            pts, scales_cat, gt, torch.tensor(gtl[i][gtm[i]],
+                                              dtype=torch.long),
+            cfg.centerness_topk, cfg.limit, cfg.n_scales, cfg.with_yaw)
+        best_scales.append(scales_cat[labels >= 0])
+    assigned_scales = torch.cat(best_scales)
+    assert (assigned_scales > 0).any(), \
+        'test fixture never leaves scale 0 — raise box sizes or lower limit'
+
+
+# ---------------------------------------------------------------------------
+# LayoutHead (Total3D): loss replica (``layout_head.py:78-106``)
+# ---------------------------------------------------------------------------
+
+def torch_layout_loss(angles, layouts, gt_angles, gt_layouts_bc,
+                      angle_weight=100.0, layout_weight=1.0):
+    """Per-image sin-difference SmoothL1 (pitch + roll) + IoU3D layout loss,
+    batch-meaned; weights from ``imvoxelnet_total_sunrgbd.py:13-19``."""
+    b = angles.shape[0]
+    angle_losses, layout_losses = [], []
+    for i in range(b):
+        a, g = angles[i], gt_angles[i]
+        losses = []
+        for j in range(2):
+            p = torch.sin(a[j]) * torch.cos(g[j])
+            t = torch.cos(a[j]) * torch.sin(g[j])
+            d = (p - t).abs()
+            sl1 = torch.where(d < 1.0, 0.5 * d * d, d - 0.5)
+            losses.append(angle_weight * sl1)
+        angle_losses.append(losses[0] + losses[1])
+        gt_gc = gt_layouts_bc[i].clone()
+        gt_gc[2] = gt_gc[2] + gt_gc[5] / 2
+        iou = np_iou_3d(layouts[i].numpy().astype(np.float64),
+                        gt_gc.numpy().astype(np.float64))
+        layout_losses.append(layout_weight * (1.0 - iou))
+    return (float(torch.stack(angle_losses).mean()),
+            float(np.mean(layout_losses)))
+
+
+def test_layout_head_loss_value_parity():
+    from imvoxelnet_tpu.models.heads.layout_head import (LayoutHeadConfig,
+                                                         layout_head_loss)
+    rng = np.random.RandomState(4)
+    b = 5
+    angles = (0.4 * rng.randn(b, 2)).astype(np.float32)
+    gt_angles = (angles + 0.3 * rng.randn(b, 2)).astype(np.float32)
+    # gravity-center predicted layouts overlapping bottom-center GT rooms
+    gt_layouts = np.concatenate([
+        0.5 * rng.randn(b, 2), np.zeros((b, 1)),
+        np.exp(rng.uniform(np.log(2.0), np.log(5.0), (b, 3))),
+        rng.uniform(-np.pi, np.pi, (b, 1))], axis=1).astype(np.float32)
+    layouts = gt_layouts.copy()
+    layouts[:, 2] += gt_layouts[:, 5] / 2            # to gravity center
+    layouts[:, :3] += 0.4 * rng.randn(b, 3).astype(np.float32)
+    layouts[:, 3:6] *= np.exp(0.2 * rng.randn(b, 3)).astype(np.float32)
+    layouts[:, 6] += 0.3 * rng.randn(b).astype(np.float32)
+
+    cfg = LayoutHeadConfig()
+    ours = jax.jit(lambda a, l, ga, gl: layout_head_loss(a, l, ga, gl, cfg))(
+        angles, layouts, gt_angles, gt_layouts)
+
+    t_angle, t_layout = torch_layout_loss(
+        torch.tensor(angles), torch.tensor(layouts),
+        torch.tensor(gt_angles), torch.tensor(gt_layouts),
+        cfg.loss_angle_weight, cfg.loss_layout_weight)
+    assert t_layout > 0.01                    # nontrivial IoU mismatch
+    np.testing.assert_allclose(float(ours['angle_loss']), t_angle,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ours['layout_loss']), t_layout,
+                               rtol=5e-4, atol=1e-6)
