@@ -53,14 +53,22 @@ def _kernel(w_ref, x_ref, out_ref, *, tx: int, ty: int, nz: int, cin: int,
     y = jax.lax.dot_general(
         a, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # (R, 3*cout)
-    y = y.reshape(tx, ty, nz, 3, cout)
-    zero = jnp.zeros((tx, ty, 1, cout), jnp.float32)
-    out = y[:, :, :, 1]
-    # out[z] += Y[z-1, tap 0] (tap 0 reads input z-1 => contributes up)
-    out = out + jnp.concatenate([zero, y[:, :, :-1, 0]], axis=2)
-    # out[z] += Y[z+1, tap 2]
-    out = out + jnp.concatenate([y[:, :, 1:, 2], zero], axis=2)
-    out_ref[...] = out.astype(out_ref.dtype)
+    # The z-shifted combine stays 2-D: Mosaic's infer-vector-layout rejects
+    # the natural (R, 3*cout) -> (tx, ty, nz, 3, cout) shape cast (splitting
+    # the lane dim is "unsupported shape cast", measured on jax 0.9.0).
+    # Rows are (i, j, z) with z minor, so "z - 1" is "row - 1": a sublane
+    # roll plus an iota mask that zeroes the rows that wrapped across an
+    # (i, j) block boundary.
+    tap0 = y[:, :cout]              # reads input z-1 => contributes to z+1
+    mid = y[:, cout:2 * cout]
+    tap2 = y[:, 2 * cout:]          # reads input z+1 => contributes to z-1
+    row_z = jax.lax.broadcasted_iota(
+        jnp.int32, (tx * ty * nz, cout), 0) % nz
+    out = mid
+    out = out + jnp.where(row_z > 0, pltpu.roll(tap0, 1, axis=0), 0.0)
+    out = out + jnp.where(row_z < nz - 1,
+                          pltpu.roll(tap2, tx * ty * nz - 1, axis=0), 0.0)
+    out_ref[...] = out.reshape(tx, ty, nz, cout).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -96,7 +104,11 @@ def _conv3z_pallas(x, kernel, *, tx: int, ty: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((b, n_tx * tx, n_ty * ty, nz, cout),
                                        x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'parallel')),
+            dimension_semantics=('parallel', 'parallel', 'parallel'),
+            # the im2col + 3-tap working set overflows the default 16 MiB
+            # scoped-vmem budget at useful tile sizes (28.9 MiB at 8x16);
+            # v5e has 128 MiB of VMEM — let the kernel use half of it
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(w2, xp)
     return out[:, :nx, :ny]

@@ -937,3 +937,173 @@ def test_layout_head_loss_value_parity():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(ours['layout_loss']), t_layout,
                                rtol=5e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Indoor gradient parity.  Needs a *differentiable* torch IoU3D oracle: the
+# same Sutherland–Hodgman clip as the numpy oracle above, in torch autograd
+# (dynamic python lists of tensors — slow, fine at test scale).
+# ---------------------------------------------------------------------------
+
+def _cross2(a, b):
+    return a[0] * b[1] - a[1] * b[0]
+
+
+def _t_box_corners_2d(box5):
+    x, y, w, h, a = box5[0], box5[1], box5[2], box5[3], box5[4]
+    ca, sa = torch.cos(a), torch.sin(a)
+    pts = []
+    for sx, sy in ((0.5, 0.5), (-0.5, 0.5), (-0.5, -0.5), (0.5, -0.5)):
+        lx, ly = sx * w, sy * h
+        pts.append(torch.stack([lx * ca - ly * sa + x, lx * sa + ly * ca + y]))
+    return pts
+
+
+def _t_sh_clip_area(subject, clip):
+    poly = list(subject)
+    m = len(clip)
+    for i in range(m):
+        a, b = clip[i], clip[(i + 1) % m]
+        edge = b - a
+        out = []
+        n = len(poly)
+        for j in range(n):
+            p, q = poly[j], poly[(j + 1) % n]
+            side_p = float(_cross2(edge, p - a)) >= 0
+            side_q = float(_cross2(edge, q - a)) >= 0
+            if side_p:
+                out.append(p)
+            if side_p != side_q:
+                d = q - p
+                t = _cross2(edge, a - p) / _cross2(edge, d)
+                out.append(p + t * d)
+        poly = out
+        if not poly:
+            return subject[0].sum() * 0.0
+    area = subject[0].sum() * 0.0
+    n = len(poly)
+    for j in range(n):
+        area = area + _cross2(poly[j], poly[(j + 1) % n])
+    return 0.5 * area.abs()
+
+
+def torch_iou_3d_diff(b1, b2):
+    """Differentiable ``cal_iou_3d`` (gravity-center 7-DoF boxes)."""
+    inter_2d = _t_sh_clip_area(
+        _t_box_corners_2d(b1[[0, 1, 3, 4, 6]]),
+        _t_box_corners_2d(b2[[0, 1, 3, 4, 6]]))
+    zmax = torch.min(b1[2] + b1[5] / 2, b2[2] + b2[5] / 2)
+    zmin = torch.max(b1[2] - b1[5] / 2, b2[2] - b2[5] / 2)
+    inter = inter_2d * torch.clamp(zmax - zmin, min=0.0)
+    v1 = b1[3] * b1[4] * b1[5]
+    v2 = b2[3] * b2[4] * b2[5]
+    return inter / (v1 + v2 - inter)
+
+
+def _t_axis_aligned_iou(p, t, eps=1e-6):
+    lt = torch.max(p[:3], t[:3])
+    rb = torch.min(p[3:], t[3:])
+    wh = torch.clamp(rb - lt, min=0.0)
+    inter = wh.prod()
+    v1 = torch.clamp(p[3:] - p[:3], min=0.0).prod()
+    v2 = torch.clamp(t[3:] - t[:3], min=0.0).prod()
+    return inter / torch.clamp(v1 + v2 - inter, min=eps)
+
+
+def torch_indoor_loss_single_diff(center, bbox, cls, valid, points, rr, gt,
+                                  gt_labels, cfg):
+    """Differentiable clone of ``torch_indoor_loss_single`` (v1 targets)."""
+    centerness_t, bbox_t, labels = torch_indoor_targets(
+        points, rr, gt, gt_labels, cfg.n_classes, cfg.centerness_topk,
+        cfg.with_yaw)
+    pos = (labels < cfg.n_classes) & valid
+    pos_inds = torch.nonzero(pos).reshape(-1)
+    n_pos = max(float(len(pos_inds)), 1.0)
+
+    loss_cls = torch_focal_loss(cls[valid], labels[valid], None, n_pos)
+    pos_c_t = centerness_t[pos_inds]
+    loss_center = torch_bce(center[pos_inds], pos_c_t, n_pos)
+    if cfg.with_yaw:
+        pred = torch_sunrgbd_pred_to_bbox(points[pos_inds], bbox[pos_inds])
+        per = torch.stack([torch_iou_3d_diff(pred[i], bbox_t[pos_inds][i])
+                           for i in range(len(pos_inds))])
+    else:
+        pred = torch_scannet_pred_to_bbox(points[pos_inds], bbox[pos_inds])
+        per = torch.stack([_t_axis_aligned_iou(pred[i], bbox_t[pos_inds][i])
+                           for i in range(len(pos_inds))])
+    w = pos_c_t
+    loss_bbox = ((1.0 - per) * w).sum() / w.sum()
+    return loss_center, loss_bbox, loss_cls
+
+
+def test_torch_diff_oracle_matches_numpy():
+    rng = np.random.RandomState(2)
+    for _ in range(20):
+        b1 = np.concatenate([rng.randn(3), np.exp(0.3 * rng.randn(3)) + 0.3,
+                             rng.uniform(-np.pi, np.pi, 1)])
+        b2 = b1 + np.concatenate([0.4 * rng.randn(3), 0.2 * rng.randn(3),
+                                  0.4 * rng.randn(1)])
+        np.testing.assert_allclose(
+            float(torch_iou_3d_diff(torch.tensor(b1), torch.tensor(b2))),
+            np_iou_3d(b1, b2), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize('dataset', ['sunrgbd', 'scannet'])
+def test_indoor_v1_loss_grad_parity(dataset):
+    """d(total loss)/d(head outputs) matches the torch replica — extends the
+    KITTI-family gradient parity to the indoor loss stack (incl. gradients
+    through the rotated-IoU clip for sunrgbd)."""
+    cfg = _indoor_cfg(dataset, -1)
+    n_voxels = (6, 6, 4)
+    b = 2
+    (head_outs, valid, origins, gtb, gtl, gtm, sizes) = _random_indoor_batch(
+        cfg, n_voxels, b, (4, 2), seed=31)
+
+    def total(ho):
+        losses = ih.indoor_head_loss(ho, valid, origins, gtb, gtl, gtm, cfg)
+        return losses['loss_centerness'] + losses['loss_bbox'] + \
+            losses['loss_cls']
+
+    g_jax = jax.jit(jax.grad(total))(head_outs)
+
+    # torch side: per-image losses on leaf tensors with requires_grad
+    rr = torch.cat([
+        torch.tensor(cfg.regress_ranges[i]).expand(
+            int(np.prod(sizes[i])), 2) for i in range(3)])
+    t_center = [torch.tensor(head_outs[0][lv], requires_grad=True)
+                for lv in range(3)]
+    t_bbox = [torch.tensor(head_outs[1][lv], requires_grad=True)
+              for lv in range(3)]
+    t_cls = [torch.tensor(head_outs[2][lv], requires_grad=True)
+             for lv in range(3)]
+    per = []
+    for i in range(b):
+        pts = torch.cat(torch_mlvl_points(sizes, cfg.voxel_size, origins[i]))
+        vt = torch.tensor(valid[i][None, None].astype(np.float32))
+        valid_lv = [torch.nn.Upsample(size=s, mode='trilinear')(vt)
+                    .round().bool().reshape(-1) for s in sizes]
+        center = torch.cat([t_center[lv][i].reshape(-1) for lv in range(3)])
+        bbox = torch.cat([t_bbox[lv][i].reshape(-1, cfg.n_reg_outs)
+                          for lv in range(3)])
+        cls = torch.cat([t_cls[lv][i].reshape(-1, cfg.n_classes)
+                         for lv in range(3)])
+        gt = torch.tensor(gtb[i][gtm[i]])
+        gl = torch.tensor(gtl[i][gtm[i]], dtype=torch.long)
+        per.append(torch_indoor_loss_single_diff(
+            center, bbox, cls, torch.cat(valid_lv), pts, rr, gt, gl, cfg))
+    total_t = sum(torch.stack([p[k] for p in per]).mean() for k in range(3))
+    total_t.backward()
+
+    for name, gj_lv, gt_lv in (('center', g_jax[0], t_center),
+                               ('bbox', g_jax[1], t_bbox),
+                               ('cls', g_jax[2], t_cls)):
+        # a level with no positives has a legitimately zero grad (center /
+        # bbox flow only through positive points); require signal overall
+        assert max(float(np.abs(g.grad.numpy()).max()) for g in gt_lv) > 0, \
+            name
+        for lv in range(3):
+            gj = np.asarray(gj_lv[lv])
+            gt_ = gt_lv[lv].grad.numpy()
+            np.testing.assert_allclose(
+                gj, gt_, rtol=2e-3, atol=1e-6,
+                err_msg=f'{dataset} grad {name} level {lv}')

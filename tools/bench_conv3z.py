@@ -58,13 +58,15 @@ def main():
               flush=True)
         return dt
 
-    ref = jax.jit(lambda: _conv_ref(x, w))
-    timeit('xla', ref)
+    # operands must be jit *arguments*: closing over them bakes 658 MB of
+    # constants into the program and the axon remote-compile RPC rejects the
+    # payload (HTTP 413)
+    ref_call = jax.jit(_conv_ref)
+    timeit('xla', lambda: ref_call(x, w))
+    pallas_call_ = jax.jit(conv3z_lanepack, static_argnums=(2, 3, 4))
     for tx, ty in [(8, 16), (8, 32), (16, 16), (16, 32), (8, 64)]:
-        fn = jax.jit(lambda tx=tx, ty=ty: conv3z_lanepack(
-            x, w, tx, ty, False))
-        dt = timeit(f'pallas {tx}x{ty}', fn)
-        del fn
+        dt = timeit(f'pallas {tx}x{ty}', lambda: pallas_call_(x, w, tx, ty,
+                                                              False))
 
     # numerical check of the winner vs XLA at this shape
     got = np.asarray(conv3z_lanepack(x, w, 8, 16, False)).astype(np.float32)
