@@ -134,7 +134,21 @@ def torch_extract_volume(feat, intrinsic, extrinsics, origin, ratio,
 H, W = 64, 160
 N_VOXELS = (20, 24, 12)
 VOXEL_SIZE = (0.3, 0.3, 0.3)
-ORIGIN = (0.0, 0.0, 5.0)   # grid 5 m in front of an identity-extrinsic camera
+# Grid ~5 m in front of an identity-extrinsic camera.  The off-round origin
+# is load-bearing: the gather's nearest-pixel ``round()`` is a knife-edge,
+# and at (0, 0, 5.0) several voxels project EXACTLY onto x.5 pixel
+# boundaries, where XLA's fused arithmetic (jit) and eager/torch legally
+# round to different pixels — gathering entirely different features.  This
+# origin keeps every projected coordinate >= 8e-4 away from a .5 boundary
+# for all three grids used below (>> f32 reassociation noise, ~1e-5);
+# ``test_projection_rounding_margin`` pins that invariant.
+ORIGIN = (0.0137, -0.0213, 5.0071)
+# reference ratio semantics: ori_h / (img_h / stride) (imvoxelnet.py:118) = 4
+# with ori == img.  K is in full-image pixels; the stride-4 feature map is
+# 40x16, so ratio=4 puts the grid's projection INSIDE it (ratio=1 projected
+# every voxel out of bounds and silently zeroed the volume — the gather must
+# move real features through the graph for these parity tests to bite).
+RATIO = 4.0
 K = np.array([[60.0, 0, 80.0], [0, 60.0, 32.0], [0, 0, 1]], np.float32)
 
 
@@ -147,7 +161,7 @@ def _jax_batch():
         extrinsics=jnp.asarray(np.eye(4, dtype=np.float32))[None, None],
         origins=jnp.asarray(np.asarray(ORIGIN, np.float32))[None],
         img_shape=jnp.asarray(np.asarray([H, W], np.int32))[None],
-        ratios=jnp.ones((1,), jnp.float32),
+        ratios=jnp.full((1,), RATIO, jnp.float32),
     )
 
 
@@ -229,7 +243,7 @@ def test_full_kitti_detector_conversion_parity():
         t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))   # (V, 3, H, W)
         feat = neck(backbone(t_img))[0]                       # stride-4 map
         volume, t_valid = torch_extract_volume(
-            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, 1.0,
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
             N_VOXELS, VOXEL_SIZE, (H, W))
         bev = neck_3d(volume[None])                           # (1, C, ny, nx)
         t_cls, t_reg, t_dir = head(bev)
@@ -280,7 +294,7 @@ def test_full_indoor_fast_detector_conversion_parity():
         t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
         feat = neck(backbone(t_img))[0]
         volume, _ = torch_extract_volume(
-            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, 1.0,
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
             n_voxels, VOXEL_SIZE, (H, W))
         scales_out = neck_3d(volume[None])
         t_outs = head(scales_out)
@@ -340,7 +354,7 @@ def test_full_indoor_v1_detector_conversion_parity():
         t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
         feat = neck(backbone(t_img))[0]
         volume, t_valid = torch_extract_volume(
-            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, 1.0,
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
             n_voxels, VOXEL_SIZE, (H, W))
         scales_out = neck_3d(volume[None])
         t_outs = head(scales_out)
@@ -365,3 +379,25 @@ def test_full_indoor_v1_detector_conversion_parity():
             np.testing.assert_allclose(
                 np.asarray(j), t.numpy().transpose(0, 2, 3, 4, 1),
                 rtol=2e-3, atol=2e-3)
+
+
+def test_projection_rounding_margin():
+    """The fixture geometry must keep every voxel's projected pixel
+    coordinate away from the round-to-nearest .5 boundary: at a tie, jit
+    (fused arithmetic) and eager/torch legally gather different pixels and
+    every full-graph comparison in this file becomes flaky.  float64 margin
+    >= 5e-4 guarantees f32-computed coordinates (error ~1e-5) round
+    identically everywhere."""
+    k = K.astype(np.float64)
+    for n_voxels in ((20, 24, 12), (8, 8, 4), (16, 16, 8)):
+        n = np.asarray(n_voxels, np.float64)
+        o = np.asarray(ORIGIN, np.float64)
+        vs = np.asarray(VOXEL_SIZE, np.float64)
+        idx = np.stack(np.meshgrid(*[np.arange(c) for c in n_voxels],
+                                   indexing='ij'), -1).reshape(-1, 3)
+        pts = idx * vs + (o - n / 2.0 * vs)
+        u = (k[0, 0] * pts[:, 0] / pts[:, 2] + k[0, 2]) / RATIO
+        v = (k[1, 1] * pts[:, 1] / pts[:, 2] + k[1, 2]) / RATIO
+        for a in (u, v):
+            margin = np.abs((a - np.floor(a)) - 0.5).min()
+            assert margin > 5e-4, (n_voxels, margin)

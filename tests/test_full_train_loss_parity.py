@@ -1,0 +1,216 @@
+"""FULL-graph training-loss parity: the scalar the optimizer actually sees.
+
+Composes the two existing replica layers end-to-end: the full torch module
+graph (backbone -> FPN -> backprojection -> 3D neck -> head, with converted
+weights — ``test_full_detector_parity``) run in the reference's *training*
+normalization mode (backbone BN eval per ``norm_eval=True``,
+``imvoxelnet_kitti.py:10-11``; 3D-neck BN in train mode = batch statistics),
+feeding the torch loss-stack replicas (``test_loss_parity``).  The JAX side
+is the production path verbatim: ``ImVoxelNet.apply(train=True)`` +
+``imvoxelnet_loss``.
+
+This closes the last gap between "forward outputs match" and "loss values
+match on synthetic heads": here the loss is computed on *graph-produced*
+head outputs with train-mode BN, so any divergence anywhere in the train
+pipeline (stats mode, dtype casts, valid-mask plumbing into the loss)
+would surface.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from imvoxelnet_tpu.models.detector import (  # noqa: E402
+    ImVoxelNet, ImVoxelNetConfig, NeckConfig, imvoxelnet_loss)
+from imvoxelnet_tpu.models.heads import anchor3d_head as ah  # noqa: E402
+from imvoxelnet_tpu.models.heads.anchor3d_head import Anchor3DHeadConfig  # noqa: E402
+from imvoxelnet_tpu.models.heads.imvoxel_heads import IndoorHeadConfig  # noqa: E402
+from imvoxelnet_tpu.utils import checkpoint as ckpt  # noqa: E402
+
+from test_full_detector_parity import (  # noqa: E402
+    TorchAnchorHead, TorchIndoorHeadV2, torch_extract_volume, _jax_batch,
+    H, W, K, N_VOXELS, VOXEL_SIZE, ORIGIN, RATIO)
+from test_torch_parity import (  # noqa: E402
+    TorchResNet50, TorchFPN, TorchKittiNeck, TorchFastNeck, _randomize_bn)
+import test_loss_parity as lp  # noqa: E402
+
+
+def _with_gt(batch, gt_boxes, gt_labels, gt_mask):
+    import jax.numpy as jnp
+    out = dict(batch)
+    out['gt_boxes'] = jnp.asarray(gt_boxes)
+    out['gt_labels'] = jnp.asarray(gt_labels)
+    out['gt_mask'] = jnp.asarray(gt_mask)
+    return out
+
+
+def test_full_kitti_train_loss_parity():
+    fpn_out, neck_out, num_anchors = 16, 32, 2
+    rng = np.random.RandomState(21)
+
+    backbone = TorchResNet50().eval()     # norm_eval=True in every config
+    neck = TorchFPN(out=fpn_out).eval()   # no BN
+    neck_3d = TorchKittiNeck(cin=fpn_out, cout=neck_out).train()
+    head = TorchAnchorHead(neck_out, num_anchors, 1).eval()
+    for m in (backbone, neck, neck_3d, head):
+        _randomize_bn(m, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    cfg = ImVoxelNetConfig(
+        n_voxels=N_VOXELS, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='kitti', in_channels=fpn_out,
+                        out_channels=neck_out),
+        head_kind='anchor3d',
+        anchor_head=Anchor3DHeadConfig(
+            num_classes=1,
+            anchor_ranges=((-3.0, -3.3, 4.0, 3.0, 3.3, 4.0),)))
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+
+    # GT near anchors so MaxIoU yields real positives (as in
+    # test_loss_parity._random_outdoor_batch)
+    probe = model.apply(variables, batch, train=False)[0]
+    hf, wf = probe[0].shape[1:3]
+    anchors = np.asarray(ah.head_anchors((hf, wf), cfg.anchor_head))
+    g = 4
+    base = anchors[rng.choice(len(anchors), g, replace=False)].copy()
+    base[:, :2] += 0.15 * rng.randn(g, 2)
+    base[:, 3:6] *= np.exp(0.05 * rng.randn(g, 3))
+    base[:, 6] += 0.1 * rng.randn(g)
+    gt_boxes = base[None].astype(np.float32)
+    gt_labels = np.zeros((1, g), np.int32)
+    gt_mask = np.ones((1, g), bool)
+
+    def jax_losses(variables, batch):
+        outs, _ = model.apply(variables, batch, train=True,
+                              mutable=['batch_stats'])
+        head_outs, valid, f2d = outs
+        return imvoxelnet_loss(cfg, head_outs, valid, f2d, batch)
+
+    ours = jax.jit(jax_losses)(
+        variables, _with_gt(batch, gt_boxes, gt_labels, gt_mask))
+
+    with torch.no_grad():
+        t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+        feat = neck(backbone(t_img))[0]
+        volume, _ = torch_extract_volume(
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
+            N_VOXELS, VOXEL_SIZE, (H, W))
+        bev = neck_3d(volume[None])          # train-mode BN batch stats
+        t_cls, t_reg, t_dir = (t.permute(0, 2, 3, 1) for t in head(bev))
+
+    theirs = lp.torch_anchor3d_loss(
+        t_cls, t_reg, t_dir, torch.tensor(anchors),
+        [torch.tensor(gt_boxes[0])],
+        [torch.tensor(gt_labels[0], dtype=torch.long)], cfg.anchor_head)
+
+    assert float(theirs['loss_bbox']) > 0     # real positives
+    for k in ('loss_cls', 'loss_bbox', 'loss_dir'):
+        np.testing.assert_allclose(
+            float(ours[k]), float(theirs[k]), rtol=5e-3, atol=1e-5,
+            err_msg=k)
+
+
+def test_full_indoor_fast_train_loss_parity():
+    """sunrgbd `_fast` graph in train mode -> v2 loss replica."""
+    fpn_out, n_classes = 8, 3
+    rng = np.random.RandomState(22)
+
+    backbone = TorchResNet50().eval()
+    neck = TorchFPN(out=fpn_out).eval()
+    neck_3d = TorchFastNeck(cin=fpn_out, out=fpn_out).train()
+    head = TorchIndoorHeadV2(fpn_out, n_classes, 7, 3).eval()
+    for m in (backbone, neck, neck_3d, head):
+        _randomize_bn(m, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    n_voxels = (8, 8, 4)
+    head_cfg = IndoorHeadConfig(
+        n_classes=n_classes, n_reg_outs=7, voxel_size=VOXEL_SIZE,
+        dataset='sunrgbd', version=2, centerness_topk=18, limit=27)
+    cfg = ImVoxelNetConfig(
+        n_voxels=n_voxels, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='fast', in_channels=fpn_out,
+                        out_channels=fpn_out, n_blocks=(1, 1, 1)),
+        head_kind='indoor', anchor_head=None, indoor_head=head_cfg)
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+
+    # GT inside the grid (extent n_voxels * voxel_size around ORIGIN);
+    # a dedicated rng keeps the boxes independent of how many draws the BN
+    # randomization consumed
+    grng = np.random.RandomState(55)
+    g = 5
+    extent = np.asarray(n_voxels) * np.asarray(VOXEL_SIZE)
+    c = (grng.rand(g, 3) - 0.5) * extent * 0.7 + np.asarray(ORIGIN)
+    size = np.exp(grng.uniform(np.log(.4), np.log(1.6), (g, 3)))
+    yaw = grng.uniform(-np.pi, np.pi, (g, 1))
+    boxes = np.concatenate([c, size, yaw], 1)
+    boxes[:, 2] -= boxes[:, 5] / 2
+    gt_boxes = boxes[None].astype(np.float32)
+    gt_labels = grng.randint(0, n_classes, (1, g)).astype(np.int32)
+    gt_mask = np.ones((1, g), bool)
+
+    def jax_losses(variables, batch):
+        outs, _ = model.apply(variables, batch, train=True,
+                              mutable=['batch_stats'])
+        head_outs, valid, f2d = outs
+        return imvoxelnet_loss(cfg, head_outs, valid, f2d, batch), valid
+
+    ours, valid = jax.jit(jax_losses)(
+        variables, _with_gt(batch, gt_boxes, gt_labels, gt_mask))
+
+    with torch.no_grad():
+        t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+        feat = neck(backbone(t_img))[0]
+        volume, t_valid = torch_extract_volume(
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
+            n_voxels, VOXEL_SIZE, (H, W))
+        scales_out = neck_3d(volume[None])   # train-mode BN batch stats
+        t_outs = head(scales_out)
+
+    np.testing.assert_array_equal(np.asarray(valid[0]), t_valid[0].numpy())
+
+    sizes = [tuple(t[0].shape[-3:]) for t in t_outs]
+    scales_cat = torch.cat([
+        torch.full((int(np.prod(s)),), i, dtype=torch.long)
+        for i, s in enumerate(sizes)])
+    pts = torch.cat(lp.torch_mlvl_points(
+        sizes, VOXEL_SIZE, np.asarray(ORIGIN, np.float32)))
+    vt = t_valid[:1][None].float()           # (1, 1, nx, ny, nz)
+    valid_lv = [torch.nn.Upsample(size=s, mode='trilinear')(vt)
+                .round().bool().reshape(-1) for s in sizes]
+    center = torch.cat([t[0][0].permute(1, 2, 3, 0).reshape(-1)
+                        for t in t_outs])
+    bbox = torch.cat([t[1][0].permute(1, 2, 3, 0).reshape(-1, 7)
+                      for t in t_outs])
+    cls = torch.cat([t[2][0].permute(1, 2, 3, 0).reshape(-1, n_classes)
+                     for t in t_outs])
+    lc, lb, lcls = lp.torch_indoor_v2_loss_single(
+        center, bbox, cls, torch.cat(valid_lv), pts, scales_cat,
+        torch.tensor(gt_boxes[0]),
+        torch.tensor(gt_labels[0], dtype=torch.long), head_cfg)
+
+    assert lb > 0
+    for k, t in (('loss_centerness', lc), ('loss_bbox', lb),
+                 ('loss_cls', lcls)):
+        np.testing.assert_allclose(
+            float(ours[k]), float(t), rtol=5e-3, atol=1e-5, err_msg=k)
