@@ -63,3 +63,35 @@ def test_preset_builds_and_traces(name):
         # BEV map (ny-2, nx-2) after the z-collapsing neck (KITTI) or
         # ((ny/2)-?, ...) for nuScenes' stride-2 first conv
         assert head_outs[0].ndim == 4
+
+
+def test_apply_overrides_nested_and_types():
+    """--override surface (the reference --options analog,
+    ``tools/train.py:48-49,71-72``): dotted paths through nested frozen
+    dataclasses, literal parsing, unknown-field rejection."""
+    import pytest
+    from imvoxelnet_tpu.configs.presets import apply_overrides, get_preset
+
+    p = get_preset('imvoxelnet_sunrgbd_fast')
+    q = apply_overrides(p, [
+        'model.indoor_head.score_thr=0.1',
+        'model.indoor_head.pre_nms_k=0',
+        'data.repeat_times=1',
+        'lr_steps=(9, 11)',
+        'model.compute_dtype=bfloat16',     # bare string
+    ])
+    assert q.model.indoor_head.score_thr == 0.1
+    assert q.model.indoor_head.pre_nms_k == 0
+    assert q.data.repeat_times == 1
+    assert q.lr_steps == (9, 11)
+    assert q.model.compute_dtype == 'bfloat16'
+    # original untouched (frozen dataclasses, replace-based)
+    assert p.model.indoor_head.score_thr == 0.0
+    with pytest.raises(AttributeError):
+        apply_overrides(p, ['model.indoor_head.scor_thr=0.1'])
+    with pytest.raises(AttributeError):
+        # cannot descend into a None child (kitti preset has no indoor head)
+        apply_overrides(get_preset('imvoxelnet_kitti'),
+                        ['model.indoor_head.score_thr=0.1'])
+    with pytest.raises(ValueError):
+        apply_overrides(p, ['model.indoor_head.score_thr'])

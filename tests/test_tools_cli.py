@@ -38,6 +38,18 @@ def test_print_config_resolves_preset(monkeypatch, capsys):
     assert "'n_voxels': (216, 248, 12)" in out
 
 
+def test_print_config_override(monkeypatch, capsys):
+    """--override (the reference --options analog) reaches the CLI layer."""
+    monkeypatch.setattr(sys, 'argv', [
+        'print_config.py', 'imvoxelnet_kitti',
+        '--override', 'model.anchor_head.score_thr=0.25',
+        '--override', 'lr=0.0002'])
+    print_config.main()
+    out = capsys.readouterr().out
+    assert "'score_thr': 0.25" in out
+    assert "'lr': 0.0002" in out
+
+
 def test_analyze_logs_summary(tmp_path, monkeypatch, capsys):
     log = tmp_path / 'train_log.jsonl'
     with open(log, 'w') as f:

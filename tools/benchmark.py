@@ -33,6 +33,12 @@ def main():
                              'local devices (parallel.mesh.'
                              'view_sharded_forward; on one chip this '
                              'measures the shard_map no-regression cost)')
+    parser.add_argument('--override', action='append', default=None,
+                        metavar='PATH=VALUE',
+                        help='preset field override, e.g. '
+                             'model.indoor_head.score_thr=0.1 '
+                             '(repeatable; the reference --options '
+                             'analog)')
     args = parser.parse_args()
 
     import dataclasses
@@ -49,6 +55,9 @@ def main():
     from imvoxelnet_tpu.parallel import train as train_lib
 
     preset = get_preset(args.preset)
+    if args.override:
+        from imvoxelnet_tpu.configs.presets import apply_overrides
+        preset = apply_overrides(preset, args.override)
     cfg = dataclasses.replace(preset.model, compute_dtype=args.dtype)
     if args.exact_nms:
         if cfg.indoor_head is None:

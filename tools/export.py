@@ -50,6 +50,12 @@ def main():
     parser.add_argument('--verify', action='store_true',
                         help='deserialize + run on the current backend, '
                              'check vs direct apply')
+    parser.add_argument('--override', action='append', default=None,
+                        metavar='PATH=VALUE',
+                        help='preset field override, e.g. '
+                             'model.indoor_head.score_thr=0.1 '
+                             '(repeatable; the reference --options '
+                             'analog)')
     args = parser.parse_args()
     if sum([args.view_sharded, args.data_sharded, args.poly_batch]) > 1:
         parser.error('--view-sharded / --data-sharded / --poly-batch are '
@@ -65,6 +71,9 @@ def main():
     from imvoxelnet_tpu.utils import export as export_lib
 
     preset = get_preset(args.preset)
+    if args.override:
+        from imvoxelnet_tpu.configs.presets import apply_overrides
+        preset = apply_overrides(preset, args.override)
     w, h = preset.data.test_size
     batch = _kitti_batch(args.batch_size, preset.data.n_images_test, h, w)
 

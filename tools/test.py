@@ -24,6 +24,12 @@ def main():
     parser.add_argument('--batch-size', type=int, default=1)
     parser.add_argument('--num-workers', type=int, default=8)
     parser.add_argument('--out', default=None, help='dump results pkl')
+    parser.add_argument('--override', action='append', default=None,
+                        metavar='PATH=VALUE',
+                        help='preset field override, e.g. '
+                             'model.indoor_head.score_thr=0.1 '
+                             '(repeatable; the reference --options '
+                             'analog)')
     args = parser.parse_args()
 
     os.environ.setdefault(
@@ -41,6 +47,9 @@ def main():
     from imvoxelnet_tpu.utils import checkpoint as ckpt_lib
 
     preset = get_preset(args.preset)
+    if args.override:
+        from imvoxelnet_tpu.configs.presets import apply_overrides
+        preset = apply_overrides(preset, args.override)
     dataset, loader = runner.build_val_dataset(
         preset, args.preset, args.data_root, args.ann_file,
         num_workers=args.num_workers, batch_size=args.batch_size)

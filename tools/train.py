@@ -49,6 +49,16 @@ def main():
                         default='pickle',
                         help='orbax = sharded per-host checkpoint IO '
                              '(multi-host pods); pickle = single-host file')
+    parser.add_argument('--override', action='append', default=None,
+                        metavar='PATH=VALUE',
+                        help='preset field override, e.g. '
+                             'model.indoor_head.score_thr=0.1 '
+                             '(repeatable; the reference --options '
+                             'analog)')
+    parser.add_argument('--autoscale-lr', action='store_true',
+                        help='scale lr linearly with device count '
+                             'relative to the reference 8-GPU runs '
+                             '(tools/train.py:93-95)')
     args = parser.parse_args()
 
     os.environ.setdefault(
@@ -73,9 +83,18 @@ def main():
     from imvoxelnet_tpu.utils import checkpoint as ckpt_lib
 
     preset = get_preset(args.preset)
+    if args.override:
+        from imvoxelnet_tpu.configs.presets import apply_overrides
+        preset = apply_overrides(preset, args.override)
     os.makedirs(args.work_dir, exist_ok=True)
 
     n_dev = len(jax.devices())
+    if args.autoscale_lr:
+        # linear LR scaling relative to the reference's 8-GPU runs
+        # (tools/train.py:93-95: lr * n_gpus / 8)
+        import dataclasses
+        preset = dataclasses.replace(preset, lr=preset.lr * n_dev / 8.0)
+        print(f'autoscale-lr: lr={preset.lr} ({n_dev} devices / 8)')
     batch_size = args.batch_size or preset.data.samples_per_device * n_dev
     epochs = args.epochs or preset.total_epochs
 
