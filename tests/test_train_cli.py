@@ -63,16 +63,21 @@ def test_train_then_test_cli(kitti4_root, tmp_path, monkeypatch, capsys):
     assert val_lines and 'KITTI/Pedestrian_3D_moderate' in val_lines[0]
 
     test_cli = _load_tool('test')
+    show_dir = str(tmp_path / 'shown')
     monkeypatch.setattr(sys, 'argv', [
         'test.py', 'tiny_kitti_test', '--data-root', kitti4_root,
         '--ann-file', ann, '--checkpoint', ckpt, '--batch-size', '8',
-        '--num-workers', '2'])
+        '--num-workers', '2', '--show-dir', show_dir, '--show-num', '1',
+        '--show-score-thr', '-1'])
     test_cli.main()
     out = capsys.readouterr().out
     metrics = json.loads(out[out.index('{'):])
     assert 'KITTI/Pedestrian_3D_moderate' in metrics
     for v in metrics.values():
         assert np.isfinite(v)
+    # --show-dir (the reference test.py --show analog) rendered wireframes
+    shown = os.listdir(show_dir)
+    assert shown and all(p.endswith('.png') for p in shown)
 
     # the trained checkpoint deploys: export CLI loads it, serializes the
     # serving artifact and verifies the roundtrip against direct apply

@@ -24,6 +24,13 @@ def main():
     parser.add_argument('--batch-size', type=int, default=1)
     parser.add_argument('--num-workers', type=int, default=8)
     parser.add_argument('--out', default=None, help='dump results pkl')
+    parser.add_argument('--show-dir', default=None,
+                        help='render predicted wireframes into each view of '
+                             'the first --show-num samples (the reference '
+                             'tools/test.py --show/--show-dir analog, '
+                             'MultiViewMixin.show)')
+    parser.add_argument('--show-num', type=int, default=3)
+    parser.add_argument('--show-score-thr', type=float, default=0.3)
     parser.add_argument('--override', action='append', default=None,
                         metavar='PATH=VALUE',
                         help='preset field override, e.g. '
@@ -83,6 +90,15 @@ def main():
         import pickle
         with open(args.out, 'wb') as f:
             pickle.dump(results, f)
+
+    if args.show_dir:
+        from imvoxelnet_tpu.utils.visualize import show_multi_view_result
+        for idx in range(min(args.show_num, len(results))):
+            r = results[idx]
+            keep = r['scores'] > args.show_score_thr
+            paths = show_multi_view_result(
+                dataset, idx, r['boxes'][keep], args.show_dir)
+            print('wrote:', *paths, sep='\n  ')
 
     metrics = runner.evaluate_results(preset, args.preset, dataset, results)
     print(json.dumps(metrics, indent=2))
