@@ -214,3 +214,117 @@ def test_full_indoor_fast_train_loss_parity():
                  ('loss_cls', lcls)):
         np.testing.assert_allclose(
             float(ours[k]), float(t), rtol=5e-3, atol=1e-5, err_msg=k)
+
+
+class TorchLayoutHead(torch.nn.Module):
+    """LayoutHead replica with mmdet naming (``layout_head.py:17-73``)."""
+
+    def __init__(self, cin, hidden):
+        super().__init__()
+        tnn = torch.nn
+
+        def mlp(out):
+            return tnn.Sequential(
+                tnn.Linear(cin, hidden), tnn.ReLU(), tnn.Dropout(0.0),
+                tnn.Linear(hidden, hidden), tnn.ReLU(), tnn.Dropout(0.0),
+                tnn.Linear(hidden, out))
+
+        self.angle_mlp = mlp(2)
+        self.layout_mlp = mlp(7)
+
+    def forward(self, c5):
+        pooled = c5.mean(dim=(2, 3))
+        angle = self.angle_mlp(pooled)
+        angle = angle - torch.floor(angle / np.pi + 0.5) * np.pi
+        raw = self.layout_mlp(pooled)
+        layout = torch.cat(
+            [raw[:, :3], torch.exp(raw[:, 3:6]), raw[:, 6:7]], dim=1)
+        return angle, layout
+
+
+def test_full_total3d_train_loss_parity():
+    """Total3D graph (indoor detector + head_2d) in train mode: the full
+    5-loss dict (centerness/bbox/cls + angle/layout) matches the replicas."""
+    from imvoxelnet_tpu.models.heads.layout_head import LayoutHeadConfig
+
+    fpn_out, n_classes, hidden = 8, 3, 16
+    rng = np.random.RandomState(23)
+
+    backbone = TorchResNet50().eval()
+    neck = TorchFPN(out=fpn_out).eval()
+    neck_3d = TorchFastNeck(cin=fpn_out, out=fpn_out).train()
+    head = TorchIndoorHeadV2(fpn_out, n_classes, 7, 3).eval()
+    head_2d = TorchLayoutHead(2048, hidden).eval()
+    for m in (backbone, neck, neck_3d, head, head_2d):
+        _randomize_bn(m, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head),
+                      ('head_2d', head_2d)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    n_voxels = (8, 8, 4)
+    head_cfg = IndoorHeadConfig(
+        n_classes=n_classes, n_reg_outs=7, voxel_size=VOXEL_SIZE,
+        dataset='sunrgbd', version=2, centerness_topk=18, limit=27)
+    layout_cfg = LayoutHeadConfig(linear_size=hidden)
+    cfg = ImVoxelNetConfig(
+        n_voxels=n_voxels, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='fast', in_channels=fpn_out,
+                        out_channels=fpn_out, n_blocks=(1, 1, 1)),
+        head_kind='indoor', anchor_head=None, indoor_head=head_cfg,
+        layout_head=layout_cfg)
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+
+    grng = np.random.RandomState(56)
+    g = 5
+    extent = np.asarray(n_voxels) * np.asarray(VOXEL_SIZE)
+    c = (grng.rand(g, 3) - 0.5) * extent * 0.7 + np.asarray(ORIGIN)
+    size = np.exp(grng.uniform(np.log(.4), np.log(1.6), (g, 3)))
+    yaw = grng.uniform(-np.pi, np.pi, (g, 1))
+    boxes = np.concatenate([c, size, yaw], 1)
+    boxes[:, 2] -= boxes[:, 5] / 2
+    gt_boxes = boxes[None].astype(np.float32)
+    gt_labels = grng.randint(0, n_classes, (1, g)).astype(np.int32)
+    gt_mask = np.ones((1, g), bool)
+    gt_angles = (0.3 * grng.randn(1, 2)).astype(np.float32)
+    gt_layout = np.concatenate([
+        0.5 * grng.randn(1, 2), np.zeros((1, 1)),
+        np.exp(grng.uniform(np.log(2.0), np.log(5.0), (1, 3))),
+        grng.uniform(-np.pi, np.pi, (1, 1))], axis=1).astype(np.float32)
+
+    batch_gt = _with_gt(batch, gt_boxes, gt_labels, gt_mask)
+    import jax.numpy as jnp
+    batch_gt['gt_angles'] = jnp.asarray(gt_angles)
+    batch_gt['gt_layout'] = jnp.asarray(gt_layout)
+
+    def jax_losses(variables, batch):
+        outs, _ = model.apply(variables, batch, train=True,
+                              mutable=['batch_stats'])
+        head_outs, valid, f2d = outs
+        return imvoxelnet_loss(cfg, head_outs, valid, f2d, batch)
+
+    ours = jax.jit(jax_losses)(variables, batch_gt)
+    assert set(ours) == {'loss_centerness', 'loss_bbox', 'loss_cls',
+                         'angle_loss', 'layout_loss'}
+
+    with torch.no_grad():
+        t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+        c5 = backbone(t_img)[-1]
+        t_angles, t_layout = head_2d(c5)
+    t_angle_loss, t_layout_loss = lp.torch_layout_loss(
+        t_angles, t_layout, torch.tensor(gt_angles),
+        torch.tensor(gt_layout),
+        layout_cfg.loss_angle_weight, layout_cfg.loss_layout_weight)
+
+    assert t_layout_loss > 0.01
+    np.testing.assert_allclose(float(ours['angle_loss']), t_angle_loss,
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(float(ours['layout_loss']), t_layout_loss,
+                               rtol=5e-3, atol=1e-5)
