@@ -328,3 +328,112 @@ def test_full_total3d_train_loss_parity():
                                rtol=5e-3, atol=1e-5)
     np.testing.assert_allclose(float(ours['layout_loss']), t_layout_loss,
                                rtol=5e-3, atol=1e-5)
+
+
+class TorchScanNetHeadV2(torch.nn.Module):
+    """ScanNetImVoxelHeadV2 forward (``imvoxel_head_v2.py:442-449``):
+    exp(scale(.)) on all six distances, no angle channel."""
+
+    def __init__(self, cin, n_classes, n_scales):
+        super().__init__()
+        tnn = torch.nn
+        self.centerness_conv = tnn.Conv3d(cin, 1, 3, padding=1, bias=False)
+        self.reg_conv = tnn.Conv3d(cin, 6, 3, padding=1, bias=False)
+        self.cls_conv = tnn.Conv3d(cin, n_classes, 3, padding=1)
+        from test_full_detector_parity import TorchScale
+        self.scales = tnn.ModuleList([TorchScale() for _ in range(n_scales)])
+
+    def forward(self, xs):
+        return [(self.centerness_conv(x), torch.exp(scale(self.reg_conv(x))),
+                 self.cls_conv(x)) for x, scale in zip(xs, self.scales)]
+
+
+def test_full_scannet_fast_train_loss_parity():
+    """The axis-aligned family end-to-end in train mode."""
+    fpn_out, n_classes = 8, 3
+    rng = np.random.RandomState(24)
+
+    backbone = TorchResNet50().eval()
+    neck = TorchFPN(out=fpn_out).eval()
+    neck_3d = TorchFastNeck(cin=fpn_out, out=fpn_out).train()
+    head = TorchScanNetHeadV2(fpn_out, n_classes, 3).eval()
+    for m in (backbone, neck, neck_3d, head):
+        _randomize_bn(m, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    n_voxels = (8, 8, 4)
+    head_cfg = IndoorHeadConfig(
+        n_classes=n_classes, n_reg_outs=6, voxel_size=VOXEL_SIZE,
+        dataset='scannet', version=2, centerness_topk=18, limit=27)
+    cfg = ImVoxelNetConfig(
+        n_voxels=n_voxels, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='fast', in_channels=fpn_out,
+                        out_channels=fpn_out, n_blocks=(1, 1, 1)),
+        head_kind='indoor', anchor_head=None, indoor_head=head_cfg)
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+
+    grng = np.random.RandomState(57)
+    g = 5
+    extent = np.asarray(n_voxels) * np.asarray(VOXEL_SIZE)
+    c = (grng.rand(g, 3) - 0.5) * extent * 0.7 + np.asarray(ORIGIN)
+    size = np.exp(grng.uniform(np.log(.4), np.log(1.6), (g, 3)))
+    boxes = np.concatenate([c, size, np.zeros((g, 1))], 1)
+    boxes[:, 2] -= boxes[:, 5] / 2
+    gt_boxes = boxes[None].astype(np.float32)
+    gt_labels = grng.randint(0, n_classes, (1, g)).astype(np.int32)
+    gt_mask = np.ones((1, g), bool)
+
+    def jax_losses(variables, batch):
+        outs, _ = model.apply(variables, batch, train=True,
+                              mutable=['batch_stats'])
+        head_outs, valid, f2d = outs
+        return imvoxelnet_loss(cfg, head_outs, valid, f2d, batch), valid
+
+    ours, valid = jax.jit(jax_losses)(
+        variables, _with_gt(batch, gt_boxes, gt_labels, gt_mask))
+
+    with torch.no_grad():
+        t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+        feat = neck(backbone(t_img))[0]
+        volume, t_valid = torch_extract_volume(
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
+            n_voxels, VOXEL_SIZE, (H, W))
+        scales_out = neck_3d(volume[None])
+        t_outs = head(scales_out)
+
+    np.testing.assert_array_equal(np.asarray(valid[0]), t_valid[0].numpy())
+
+    sizes = [tuple(t[0].shape[-3:]) for t in t_outs]
+    scales_cat = torch.cat([
+        torch.full((int(np.prod(s)),), i, dtype=torch.long)
+        for i, s in enumerate(sizes)])
+    pts = torch.cat(lp.torch_mlvl_points(
+        sizes, VOXEL_SIZE, np.asarray(ORIGIN, np.float32)))
+    vt = t_valid[:1][None].float()
+    valid_lv = [torch.nn.Upsample(size=s, mode='trilinear')(vt)
+                .round().bool().reshape(-1) for s in sizes]
+    center = torch.cat([t[0][0].permute(1, 2, 3, 0).reshape(-1)
+                        for t in t_outs])
+    bbox = torch.cat([t[1][0].permute(1, 2, 3, 0).reshape(-1, 6)
+                      for t in t_outs])
+    cls = torch.cat([t[2][0].permute(1, 2, 3, 0).reshape(-1, n_classes)
+                     for t in t_outs])
+    lc, lb, lcls = lp.torch_indoor_v2_loss_single(
+        center, bbox, cls, torch.cat(valid_lv), pts, scales_cat,
+        torch.tensor(gt_boxes[0]),
+        torch.tensor(gt_labels[0], dtype=torch.long), head_cfg)
+
+    assert lb > 0
+    for k, t in (('loss_centerness', lc), ('loss_bbox', lb),
+                 ('loss_cls', lcls)):
+        np.testing.assert_allclose(
+            float(ours[k]), float(t), rtol=5e-3, atol=1e-5, err_msg=k)
