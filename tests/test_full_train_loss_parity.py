@@ -33,7 +33,8 @@ from test_full_detector_parity import (  # noqa: E402
     TorchAnchorHead, TorchIndoorHeadV2, torch_extract_volume, _jax_batch,
     H, W, K, N_VOXELS, VOXEL_SIZE, ORIGIN, RATIO)
 from test_torch_parity import (  # noqa: E402
-    TorchResNet50, TorchFPN, TorchKittiNeck, TorchFastNeck, _randomize_bn)
+    TorchResNet50, TorchFPN, TorchKittiNeck, TorchFastNeck,
+    TorchNuScenesNeck, _randomize_bn, _randomize_conv_offsets)
 import test_loss_parity as lp  # noqa: E402
 
 
@@ -89,6 +90,91 @@ def test_full_kitti_train_loss_parity():
     base[:, 6] += 0.1 * rng.randn(g)
     gt_boxes = base[None].astype(np.float32)
     gt_labels = np.zeros((1, g), np.int32)
+    gt_mask = np.ones((1, g), bool)
+
+    def jax_losses(variables, batch):
+        outs, _ = model.apply(variables, batch, train=True,
+                              mutable=['batch_stats'])
+        head_outs, valid, f2d = outs
+        return imvoxelnet_loss(cfg, head_outs, valid, f2d, batch)
+
+    ours = jax.jit(jax_losses)(
+        variables, _with_gt(batch, gt_boxes, gt_labels, gt_mask))
+
+    with torch.no_grad():
+        t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+        feat = neck(backbone(t_img))[0]
+        volume, _ = torch_extract_volume(
+            feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
+            N_VOXELS, VOXEL_SIZE, (H, W))
+        bev = neck_3d(volume[None])          # train-mode BN batch stats
+        t_cls, t_reg, t_dir = (t.permute(0, 2, 3, 1) for t in head(bev))
+
+    theirs = lp.torch_anchor3d_loss(
+        t_cls, t_reg, t_dir, torch.tensor(anchors),
+        [torch.tensor(gt_boxes[0])],
+        [torch.tensor(gt_labels[0], dtype=torch.long)], cfg.anchor_head)
+
+    assert float(theirs['loss_bbox']) > 0     # real positives
+    for k in ('loss_cls', 'loss_bbox', 'loss_dir'):
+        np.testing.assert_allclose(
+            float(ours[k]), float(theirs[k]), rtol=5e-3, atol=1e-5,
+            err_msg=k)
+
+
+def test_full_nuscenes_dcn_train_loss_parity():
+    """The fifth graph family end-to-end: DCNv2 ResNet-50 (stages 3-4,
+    ``imvoxelnet_nuscenes.py:13-14``, nonzero offsets) -> FPN ->
+    backprojection -> NuScenes neck (train-mode BN) -> Anchor3DHead at the
+    nuScenes loss knobs (``imvoxelnet_nuscenes.py:24-45``: dir_offset=0.7854,
+    dir_limit_offset=0, bbox weight 1.0, assigner 0.6/0.3/0.3) vs the torch
+    replica stack — composed via the oracle-validated pure-torch DCNv2."""
+    fpn_out, neck_out, num_anchors, n_classes = 16, 32, 2, 2
+    rng = np.random.RandomState(29)
+    dcn = (False, False, True, True)
+
+    backbone = TorchResNet50(stage_with_dcn=dcn).eval()
+    neck = TorchFPN(out=fpn_out).eval()
+    neck_3d = TorchNuScenesNeck(cin=fpn_out, cout=neck_out).train()
+    head = TorchAnchorHead(neck_out, num_anchors, n_classes).eval()
+    for m in (backbone, neck, neck_3d, head):
+        _randomize_bn(m, rng)
+    _randomize_conv_offsets(backbone, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    head_cfg = Anchor3DHeadConfig(
+        num_classes=n_classes,
+        anchor_ranges=((-3.0, -3.3, 4.0, 3.0, 3.3, 4.0),),
+        anchor_sizes=((1.98, 4.67, 1.74),),
+        dir_offset=0.7854, dir_limit_offset=0.0, loss_bbox_weight=1.0,
+        assigner=lp.AssignerConfig(0.6, 0.3, 0.3))
+    cfg = ImVoxelNetConfig(
+        n_voxels=N_VOXELS, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='nuscenes', in_channels=fpn_out,
+                        out_channels=neck_out),
+        head_kind='anchor3d', anchor_head=head_cfg,
+        stage_with_dcn=dcn)
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+
+    probe = model.apply(variables, batch, train=False)[0]
+    hf, wf = probe[0].shape[1:3]
+    anchors = np.asarray(ah.head_anchors((hf, wf), cfg.anchor_head))
+    g = 4
+    base = anchors[rng.choice(len(anchors), g, replace=False)].copy()
+    base[:, :2] += 0.15 * rng.randn(g, 2)
+    base[:, 3:6] *= np.exp(0.05 * rng.randn(g, 3))
+    base[:, 6] += 0.1 * rng.randn(g)
+    gt_boxes = base[None].astype(np.float32)
+    gt_labels = rng.randint(0, n_classes, (1, g)).astype(np.int32)
     gt_mask = np.ones((1, g), bool)
 
     def jax_losses(variables, batch):

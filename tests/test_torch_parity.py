@@ -31,14 +31,75 @@ def _randomize_bn(m, rng):
                 rng.rand(c).astype(np.float32) + 0.5)
 
 
-class TorchBottleneck(tnn.Module):
-    """torchvision-structured bottleneck (state_dict names conv1/bn1/...)."""
+def _t_bilinear(x, py, px):
+    """Zero-pad bilinear sampling, mmcv ``dmcn_im2col_bilinear`` semantics
+    (per-corner bounds checks).  ``x (B, C, H, W)``; ``py, px (B, OH, OW)``
+    float coordinates; returns ``(B, C, OH, OW)``."""
+    b, c, h, w = x.shape
+    y0, x0 = torch.floor(py), torch.floor(px)
+    dy, dx = py - y0, px - x0
+    flat = x.reshape(b, c, h * w)
+    out = 0.0
+    for yi, xi, wgt in ((y0, x0, (1 - dy) * (1 - dx)),
+                        (y0, x0 + 1, (1 - dy) * dx),
+                        (y0 + 1, x0, dy * (1 - dx)),
+                        (y0 + 1, x0 + 1, dy * dx)):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = yi.clamp(0, h - 1).long()
+        xc = xi.clamp(0, w - 1).long()
+        idx = (yc * w + xc).reshape(b, 1, -1).expand(-1, c, -1)
+        v = flat.gather(2, idx).reshape(b, c, *py.shape[1:])
+        out = out + v * (inside.to(x.dtype) * wgt).unsqueeze(1)
+    return out
 
-    def __init__(self, cin, planes, stride=1, downsample=False):
+
+class TorchModulatedDeformConv2d(tnn.Module):
+    """Pure-torch mmcv ``ModulatedDeformConv2dPack`` (DCNv2): 3x3, pad 1,
+    dilation 1, no bias, offset channels interleaved ``(dy, dx)`` per tap in
+    row-major tap order (the CUDA kernel's ``data_offset[2*(i*kw+j)]``).
+    State-dict names match mmcv: ``weight`` + ``conv_offset.{weight,bias}``,
+    so the reference nuScenes backbone keys (``imvoxelnet_nuscenes.py:13-14``)
+    convert without renames."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.weight = tnn.Parameter(0.1 * torch.randn(cout, cin, 3, 3))
+        self.conv_offset = tnn.Conv2d(cin, 27, 3, stride, 1)
+        tnn.init.zeros_(self.conv_offset.weight)
+        tnn.init.zeros_(self.conv_offset.bias)
+        self.stride = stride
+
+    def forward(self, x):
+        om = self.conv_offset(x)
+        offset, mask = om[:, :18], torch.sigmoid(om[:, 18:])
+        b, c = x.shape[:2]
+        oh, ow = om.shape[-2:]
+        ys = torch.arange(oh, dtype=x.dtype) * self.stride
+        xs = torch.arange(ow, dtype=x.dtype) * self.stride
+        cols = []
+        for t in range(9):
+            ki, kj = divmod(t, 3)
+            py = ys.view(1, oh, 1) - 1 + ki + offset[:, 2 * t]
+            px = xs.view(1, 1, ow) - 1 + kj + offset[:, 2 * t + 1]
+            cols.append(_t_bilinear(x, py, px) * mask[:, t:t + 1])
+        col = torch.stack(cols, dim=2).reshape(b, c * 9, oh, ow)
+        wf = self.weight.reshape(self.weight.shape[0], -1)   # (F, C*9)
+        return torch.einsum('fk,bkhw->bfhw', wf, col)
+
+
+class TorchBottleneck(tnn.Module):
+    """torchvision-structured bottleneck (state_dict names conv1/bn1/...);
+    ``with_dcn`` swaps conv2 for DCNv2 like mmcv's ResNet ``dcn=`` option."""
+
+    def __init__(self, cin, planes, stride=1, downsample=False,
+                 with_dcn=False):
         super().__init__()
         self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
         self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        if with_dcn:
+            self.conv2 = TorchModulatedDeformConv2d(planes, planes, stride)
+        else:
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
         self.bn2 = tnn.BatchNorm2d(planes)
         self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(planes * 4)
@@ -58,7 +119,7 @@ class TorchBottleneck(tnn.Module):
 
 
 class TorchResNet50(tnn.Module):
-    def __init__(self):
+    def __init__(self, stage_with_dcn=(False, False, False, False)):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
@@ -71,7 +132,8 @@ class TorchResNet50(tnn.Module):
             for b in range(n):
                 blocks.append(TorchBottleneck(
                     cin if b == 0 else planes * 4, planes,
-                    stride if b == 0 else 1, downsample=(b == 0)))
+                    stride if b == 0 else 1, downsample=(b == 0),
+                    with_dcn=stage_with_dcn[stage - 1]))
             setattr(self, f'layer{stage}', tnn.Sequential(*blocks))
             cin, planes = planes * 4, planes * 2
 
@@ -97,6 +159,77 @@ def test_resnet50_conversion_numeric_parity():
     from imvoxelnet_tpu.models.resnet import resnet50
     params = ckpt.convert_resnet50(sd)
     j_outs = resnet50().apply({'params': params}, jnp.asarray(x))
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-3)
+
+
+def test_torch_dcn_replica_matches_numpy_oracle():
+    """The pure-torch DCNv2 replica must agree with the independent numpy
+    oracle (mmcv semantics, ``test_dcn._np_modulated_deform_conv``) before it
+    may serve as the composition layer for the nuScenes backbone parity."""
+    from test_dcn import _np_modulated_deform_conv
+
+    rng = np.random.RandomState(11)
+    b, h, w, c, f = 2, 7, 9, 3, 4
+    for stride in (1, 2):
+        x = rng.randn(b, c, h, w).astype(np.float32)
+        m = TorchModulatedDeformConv2d(c, f, stride)
+        m.conv_offset.weight.data = torch.tensor(
+            (0.3 * rng.randn(27, c, 3, 3)).astype(np.float32))
+        m.conv_offset.bias.data = torch.tensor(
+            (0.5 * rng.randn(27)).astype(np.float32))
+        with torch.no_grad():
+            out = m(torch.tensor(x)).numpy()
+            om = m.conv_offset(torch.tensor(x)).numpy()
+        offset = om[:, :18].transpose(0, 2, 3, 1).astype(np.float64)
+        mask = 1.0 / (1.0 + np.exp(-om[:, 18:].transpose(0, 2, 3, 1)
+                                   .astype(np.float64)))
+        kernel = m.weight.detach().numpy().transpose(2, 3, 1, 0)  # HWIO
+        expected = _np_modulated_deform_conv(
+            x.transpose(0, 2, 3, 1).astype(np.float64), offset, mask,
+            kernel.astype(np.float64), stride)
+        assert np.abs(expected).max() > 0
+        np.testing.assert_allclose(
+            out.transpose(0, 2, 3, 1), expected, rtol=2e-4, atol=2e-5,
+            err_msg=f'stride={stride}')
+
+
+def _randomize_conv_offsets(m, rng, scale=0.1):
+    """Give every DCN's conv_offset nonzero weights so the deformable
+    (fractional-sampling) path is actually exercised — mmcv zero-inits it,
+    which degenerates DCNv2 to 0.5x a plain conv."""
+    for mod in m.modules():
+        if isinstance(mod, TorchModulatedDeformConv2d):
+            w = mod.conv_offset.weight
+            mod.conv_offset.weight.data = torch.tensor(
+                (scale * rng.randn(*w.shape)).astype(np.float32))
+            mod.conv_offset.bias.data = torch.tensor(
+                (scale * rng.randn(27)).astype(np.float32))
+
+
+def test_resnet50_dcn_conversion_numeric_parity():
+    """nuScenes backbone: DCNv2 conv2 in stages 3-4
+    (``configs/imvoxelnet/imvoxelnet_nuscenes.py:13-14``) with RANDOM
+    (nonzero) offsets, converted end-to-end."""
+    rng = np.random.RandomState(13)
+    dcn = (False, False, True, True)
+    tm = TorchResNet50(stage_with_dcn=dcn).eval()
+    _randomize_bn(tm, rng)
+    _randomize_conv_offsets(tm, rng)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    x = rng.randn(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+
+    from imvoxelnet_tpu.models.resnet import resnet50
+    params = ckpt.convert_resnet50(sd, stage_with_dcn=dcn)
+    j_outs = resnet50(stage_with_dcn=dcn).apply(
+        {'params': params}, jnp.asarray(x))
+    # the DCN stages must see nonzero offsets or this test proves nothing
+    assert float(t_outs[2].abs().sum()) > 0
     for t, j in zip(t_outs, j_outs):
         np.testing.assert_allclose(
             np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
