@@ -122,6 +122,125 @@ def test_full_kitti_train_loss_parity():
             err_msg=k)
 
 
+def test_full_kitti_param_grad_parity():
+    """FULL-graph PARAMETER-gradient parity: d(total loss)/d(weights) through
+    the entire KITTI graph — loss stack, head convs, the z-collapsing neck's
+    train-mode BN, the backprojection gather's backward (scatter-add), FPN,
+    and the frozen-BN ResNet — must match torch autograd on the replica
+    stack.  This is the training signal itself: if these gradients match,
+    an optimizer step moves both frameworks' weights identically."""
+    fpn_out, neck_out, num_anchors = 16, 32, 2
+    rng = np.random.RandomState(21)
+
+    backbone = TorchResNet50().eval()
+    neck = TorchFPN(out=fpn_out).eval()
+    neck_3d = TorchKittiNeck(cin=fpn_out, cout=neck_out).train()
+    head = TorchAnchorHead(neck_out, num_anchors, 1).eval()
+    for m in (backbone, neck, neck_3d, head):
+        _randomize_bn(m, rng)
+
+    sd = {}
+    for prefix, m in (('backbone', backbone), ('neck', neck),
+                      ('neck_3d', neck_3d), ('bbox_head', head)):
+        sd.update({f'{prefix}.{k}': v.detach().numpy()
+                   for k, v in m.state_dict().items()})
+
+    cfg = ImVoxelNetConfig(
+        n_voxels=N_VOXELS, voxel_size=VOXEL_SIZE,
+        fpn_out_channels=fpn_out,
+        neck=NeckConfig(kind='kitti', in_channels=fpn_out,
+                        out_channels=neck_out),
+        head_kind='anchor3d',
+        anchor_head=Anchor3DHeadConfig(
+            num_classes=1,
+            anchor_ranges=((-3.0, -3.3, 4.0, 3.0, 3.3, 4.0),)))
+    variables = ckpt.convert_reference_checkpoint(sd, cfg, strict=True)
+
+    img, batch = _jax_batch()
+    model = ImVoxelNet(cfg)
+
+    probe = model.apply(variables, batch, train=False)[0]
+    hf, wf = probe[0].shape[1:3]
+    anchors = np.asarray(ah.head_anchors((hf, wf), cfg.anchor_head))
+    g = 4
+    base = anchors[rng.choice(len(anchors), g, replace=False)].copy()
+    base[:, :2] += 0.15 * rng.randn(g, 2)
+    base[:, 3:6] *= np.exp(0.05 * rng.randn(g, 3))
+    base[:, 6] += 0.1 * rng.randn(g)
+    gt_boxes = base[None].astype(np.float32)
+    gt_labels = np.zeros((1, g), np.int32)
+    gt_mask = np.ones((1, g), bool)
+    batch_gt = _with_gt(batch, gt_boxes, gt_labels, gt_mask)
+
+    def total_loss(params):
+        outs, _ = model.apply({**variables, 'params': params}, batch_gt,
+                              train=True, mutable=['batch_stats'])
+        head_outs, valid, f2d = outs
+        losses = imvoxelnet_loss(cfg, head_outs, valid, f2d, batch_gt)
+        return losses['loss_cls'] + losses['loss_bbox'] + losses['loss_dir']
+
+    g_jax = jax.jit(jax.grad(total_loss))(variables['params'])
+
+    # torch: same graph with autograd enabled end-to-end
+    t_img = torch.tensor(img[0].transpose(0, 3, 1, 2))
+    feat = neck(backbone(t_img))[0]
+    volume, _ = torch_extract_volume(
+        feat, K, [np.eye(4, dtype=np.float32)], ORIGIN, RATIO,
+        N_VOXELS, VOXEL_SIZE, (H, W))
+    bev = neck_3d(volume[None])
+    t_cls, t_reg, t_dir = (t.permute(0, 2, 3, 1) for t in head(bev))
+    theirs = lp.torch_anchor3d_loss(
+        t_cls, t_reg, t_dir, torch.tensor(anchors),
+        [torch.tensor(gt_boxes[0])],
+        [torch.tensor(gt_labels[0], dtype=torch.long)], cfg.anchor_head)
+    total = theirs['loss_cls'] + theirs['loss_bbox'] + theirs['loss_dir']
+    assert float(theirs['loss_bbox']) > 0
+    total.backward()
+    t_grads = {n: p.grad for n, p in
+               [(f'{pre}.{n}', p) for pre, m in
+                (('backbone', backbone), ('neck', neck),
+                 ('neck_3d', neck_3d), ('bbox_head', head))
+                for n, p in m.named_parameters()]}
+
+    def close(jax_leaf, torch_name, transform=None, tol=2e-2):
+        gt_ = t_grads[torch_name].detach().numpy()
+        if transform is not None:
+            gt_ = transform(gt_)
+        gj = np.asarray(jax_leaf)
+        assert np.abs(gt_).max() > 0, f'{torch_name}: zero torch grad'
+        np.testing.assert_allclose(
+            gj, gt_, rtol=tol, atol=tol * np.abs(gt_).max(),
+            err_msg=torch_name)
+
+    t2d = lambda w: w.transpose(2, 3, 1, 0)    # OIHW  -> HWIO
+    t3d = lambda w: w.transpose(2, 3, 4, 1, 0)  # OIDHW -> DHWIO
+    p = g_jax
+    close(p['bbox_head']['conv_cls']['kernel'], 'bbox_head.conv_cls.weight', t2d)
+    close(p['bbox_head']['conv_cls']['bias'], 'bbox_head.conv_cls.bias')
+    close(p['bbox_head']['conv_reg']['kernel'], 'bbox_head.conv_reg.weight', t2d)
+    close(p['bbox_head']['conv_dir_cls']['kernel'],
+          'bbox_head.conv_dir_cls.weight', t2d)
+    close(p['neck_3d']['out_conv']['conv']['kernel'],
+          'neck_3d.model.5.0.weight', t3d)
+    close(p['neck_3d']['block0']['conv1']['kernel'],
+          'neck_3d.model.0.conv1.weight', t3d)
+    close(p['neck']['lateral_0']['kernel'],
+          'neck.lateral_convs.0.conv.weight', t2d)
+    # fpn_convs.{1,2,3} only feed the unused P3-P5 outputs (only the
+    # stride-4 level enters the volume): their grads are zero on both sides.
+    # lateral_3 contributes to P2 through the top-down sum, so it checks the
+    # full FPN pathway.
+    assert t_grads['neck.fpn_convs.3.conv.weight'] is None or \
+        float(t_grads['neck.fpn_convs.3.conv.weight'].abs().max()) == 0
+    np.testing.assert_array_equal(
+        np.asarray(p['neck']['fpn_3']['kernel']), 0.0)
+    close(p['neck']['lateral_3']['kernel'],
+          'neck.lateral_convs.3.conv.weight', t2d)
+    close(p['backbone']['layer3_2']['conv2']['kernel'],
+          'backbone.layer3.2.conv2.weight', t2d)
+    close(p['backbone']['conv1']['kernel'], 'backbone.conv1.weight', t2d)
+
+
 def test_full_nuscenes_dcn_train_loss_parity():
     """The fifth graph family end-to-end: DCNv2 ResNet-50 (stages 3-4,
     ``imvoxelnet_nuscenes.py:13-14``, nonzero offsets) -> FPN ->
