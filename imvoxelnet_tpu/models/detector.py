@@ -60,9 +60,25 @@ class ImVoxelNetConfig:
     indoor_head: Optional[ivh.IndoorHeadConfig] = None
     layout_head: Optional[lh.LayoutHeadConfig] = None
     axis_name: Optional[str] = None
+    # Indoor-head positive-count normalization under data parallelism
+    # (docs/parity.md "DP training semantics"):
+    #   'per_image'  — each image's losses normalize by ITS positive count;
+    #                  exact reference semantics at world size 1, and under
+    #                  shard_map DP where axis_name pmean reproduces the
+    #                  cross-rank reduce_mean (imvoxel_head.py:196).
+    #   'batch_mean' — every image normalizes by the global-batch MEAN
+    #                  count; the production GSPMD multi-chip analog of the
+    #                  reference's cross-rank reduce_mean (group widened
+    #                  from world-size to the whole global batch — exact at
+    #                  samples_per_gpu=1, lower-variance at >1).
+    dp_loss_norm: str = 'per_image'
     stride: int = 4                 # asserted == 4 in the reference
     compute_dtype: str = 'float32'  # conv-path dtype; 'bfloat16' on TPU
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    # Bottlenecks per stage; (3, 4, 6, 3) = the reference's ResNet-50
+    # (``pretrained='torchvision://resnet50'``).  Tiny-test configs shrink
+    # this so CPU-mesh compiles stay cheap while keeping the real structure.
+    backbone_stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)
     # When set, __call__ expects to run INSIDE shard_map with the view axis
     # of images/extrinsics sharded over this mesh axis: backbone+FPN+gather
     # run on the local view shard, the per-voxel (sum, count) pair is
@@ -106,8 +122,9 @@ class ImVoxelNet(nn.Module):
         b, v, h, w, _ = images.shape
         flat = images.reshape(b * v, h, w, 3)
 
-        feats = resnet_lib.resnet50(
-            dtype, cfg.stage_with_dcn).copy(name='backbone')(flat)
+        feats = resnet_lib.ResNet(
+            stage_blocks=tuple(cfg.backbone_stage_blocks), dtype=dtype,
+            stage_with_dcn=tuple(cfg.stage_with_dcn), name='backbone')(flat)
 
         features_2d = None
         if cfg.layout_head is not None:
@@ -172,7 +189,7 @@ def imvoxelnet_loss(cfg: ImVoxelNetConfig, head_outs, valid, features_2d,
         losses = ivh.indoor_head_loss(
             head_outs, valid, batch['origins'], batch['gt_boxes'],
             batch['gt_labels'], batch['gt_mask'], cfg.indoor_head,
-            cfg.axis_name)
+            cfg.axis_name, batch_mean=(cfg.dp_loss_norm == 'batch_mean'))
     if cfg.layout_head is not None and features_2d is not None:
         angles, layouts = features_2d
         losses.update(lh.layout_head_loss(

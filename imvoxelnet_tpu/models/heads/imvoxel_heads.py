@@ -340,9 +340,14 @@ def _flatten_levels(levels):
 
 
 def indoor_head_loss(head_outs, valid, origins, gt_boxes, gt_labels, gt_mask,
-                     cfg: IndoorHeadConfig, axis_name: Optional[str] = None):
+                     cfg: IndoorHeadConfig, axis_name: Optional[str] = None,
+                     batch_mean: bool = False):
     """Batch loss.  Parity: ``ImVoxelHead.loss/_loss_single``
     (``imvoxel_head.py:86-224``) with ``reduce_mean`` -> ``lax.pmean``.
+
+    ``batch_mean=True`` normalizes every image by the global-batch mean
+    positive count — the production GSPMD analog of the reference's
+    cross-rank ``reduce_mean`` (see ``ImVoxelNetConfig.dp_loss_norm``).
 
     Args:
       head_outs: (centernesses, bbox_preds, cls_scores) level lists,
@@ -392,6 +397,11 @@ def indoor_head_loss(head_outs, valid, origins, gt_boxes, gt_labels, gt_mask,
     # ranks at the same within-batch slot and is the identity at world=1.
     # ``axis_name`` (shard_map DP) reproduces the cross-rank mean exactly.
     n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)         # (B,)
+    if batch_mean:
+        # production GSPMD multi-chip: one normalizer for the whole global
+        # batch (the reference's cross-rank mean with the group widened to
+        # the global batch; exact at samples_per_gpu=1)
+        n_pos = jnp.broadcast_to(jnp.mean(n_pos), n_pos.shape)
     if axis_name is not None:
         n_pos = jax.lax.pmean(n_pos, axis_name)
     n_pos_avg = jnp.maximum(n_pos, 1.0)                      # (B,)

@@ -50,30 +50,47 @@ def param_labels(params):
         lambda path, _: _param_label(path), params)
 
 
+def _frozen_mask(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _param_label(path) == 'frozen', params)
+
+
 def make_optimizer(lr: float, weight_decay: float, backbone_lr_mult: float,
                    grad_clip_norm: float, steps_per_epoch: int,
                    lr_steps=(8, 11), total_epochs: int = 12):
-    """AdamW with the reference's paramwise/schedule semantics."""
+    """AdamW with the reference's paramwise/schedule semantics.
+
+    Gradient clipping is a single JOINT global norm over all trainable
+    gradients, exactly as mmcv's ``OptimizerHook.clip_grads`` applies
+    ``clip_grad_norm_`` once over the whole parameter list
+    (``configs/imvoxelnet/imvoxelnet_kitti.py:150``, norm_type=2) — NOT one
+    norm per lr_mult group.  Frozen parameters (``requires_grad=False`` in
+    torch, so they carry no grad) are zeroed BEFORE the norm so they do not
+    contribute to it, matching torch's params-with-grad filtering.
+    """
     boundaries = {e * steps_per_epoch: 0.1 for e in lr_steps}
 
     def sched(scale):
         return optax.piecewise_constant_schedule(lr * scale, boundaries)
 
     def adamw(scale):
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip_norm),
-            optax.adamw(sched(scale), b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=weight_decay),
-        )
+        return optax.adamw(sched(scale), b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=weight_decay)
 
-    return optax.multi_transform(
-        {'rest': adamw(1.0), 'backbone': adamw(backbone_lr_mult),
-         'frozen': optax.set_to_zero()},
-        param_labels)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), _frozen_mask),
+        optax.clip_by_global_norm(grad_clip_norm),
+        optax.multi_transform(
+            {'rest': adamw(1.0), 'backbone': adamw(backbone_lr_mult),
+             'frozen': optax.set_to_zero()},
+            param_labels))
 
 
 def create_train_state(model: ImVoxelNet, tx, rng, sample_batch) -> TrainState:
-    variables = model.init(rng, sample_batch, train=False)
+    # jit the init: one compile instead of hundreds of eager dispatches
+    # (matters on the 8-virtual-device CPU mesh used by tests/dryruns)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        rng, sample_batch)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(

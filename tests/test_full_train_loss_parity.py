@@ -115,7 +115,7 @@ def test_full_kitti_train_loss_parity():
         [torch.tensor(gt_boxes[0])],
         [torch.tensor(gt_labels[0], dtype=torch.long)], cfg.anchor_head)
 
-    assert float(theirs['loss_bbox']) > 0     # real positives
+    assert float(theirs['loss_bbox'].detach()) > 0     # real positives
     for k in ('loss_cls', 'loss_bbox', 'loss_dir'):
         np.testing.assert_allclose(
             float(ours[k]), float(theirs[k]), rtol=5e-3, atol=1e-5,
@@ -194,7 +194,7 @@ def test_full_kitti_param_grad_parity():
         [torch.tensor(gt_boxes[0])],
         [torch.tensor(gt_labels[0], dtype=torch.long)], cfg.anchor_head)
     total = theirs['loss_cls'] + theirs['loss_bbox'] + theirs['loss_dir']
-    assert float(theirs['loss_bbox']) > 0
+    assert float(theirs['loss_bbox'].detach()) > 0
     total.backward()
     t_grads = {n: p.grad for n, p in
                [(f'{pre}.{n}', p) for pre, m in
@@ -319,7 +319,7 @@ def test_full_nuscenes_dcn_train_loss_parity():
         [torch.tensor(gt_boxes[0])],
         [torch.tensor(gt_labels[0], dtype=torch.long)], cfg.anchor_head)
 
-    assert float(theirs['loss_bbox']) > 0     # real positives
+    assert float(theirs['loss_bbox'].detach()) > 0     # real positives
     for k in ('loss_cls', 'loss_bbox', 'loss_dir'):
         np.testing.assert_allclose(
             float(ours[k]), float(theirs[k]), rtol=5e-3, atol=1e-5,

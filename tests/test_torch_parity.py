@@ -221,15 +221,24 @@ def test_resnet50_dcn_conversion_numeric_parity():
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     x = rng.randn(1, 64, 96, 3).astype(np.float32)
+    # the DCN stages must see nonzero offsets or this test proves nothing:
+    # capture every conv_offset's actual output during the forward
+    offset_maxes = []
+    hooks = [mod.conv_offset.register_forward_hook(
+                 lambda _m, _i, out: offset_maxes.append(
+                     float(out.abs().max())))
+             for mod in tm.modules()
+             if isinstance(mod, TorchModulatedDeformConv2d)]
     with torch.no_grad():
         t_outs = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+    for h in hooks:
+        h.remove()
+    assert offset_maxes and min(offset_maxes) > 0, offset_maxes
 
     from imvoxelnet_tpu.models.resnet import resnet50
     params = ckpt.convert_resnet50(sd, stage_with_dcn=dcn)
     j_outs = resnet50(stage_with_dcn=dcn).apply(
         {'params': params}, jnp.asarray(x))
-    # the DCN stages must see nonzero offsets or this test proves nothing
-    assert float(t_outs[2].abs().sum()) > 0
     for t, j in zip(t_outs, j_outs):
         np.testing.assert_allclose(
             np.asarray(j), t.numpy().transpose(0, 2, 3, 1),

@@ -119,7 +119,17 @@ def main():
     print(f'dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch, '
           f'{n_dev} devices, global batch {batch_size}')
 
-    model = ImVoxelNet(preset.model)
+    model_cfg = preset.model
+    overrode_norm = any('dp_loss_norm' in o for o in (args.override or []))
+    if n_dev > 1 and model_cfg.head_kind == 'indoor' and not overrode_norm:
+        # multi-chip GSPMD: the reference's cross-rank reduce_mean of the
+        # indoor positive count (imvoxel_head.py:196) — see
+        # docs/parity.md "DP training semantics"
+        import dataclasses
+        model_cfg = dataclasses.replace(model_cfg, dp_loss_norm='batch_mean')
+        print('dp_loss_norm=batch_mean (multi-device indoor training)')
+
+    model = ImVoxelNet(model_cfg)
     tx = train_lib.make_optimizer(
         preset.lr, preset.weight_decay, preset.backbone_lr_mult,
         preset.grad_clip_norm, steps_per_epoch, preset.lr_steps,
