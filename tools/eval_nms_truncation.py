@@ -29,8 +29,16 @@ import os
 import pickle
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# This container's sitecustomize imports jax (registering the axon TPU
+# plugin) before this module runs, so the JAX_PLATFORMS env var is too late
+# here — only the config API still takes effect (same pinning note as
+# __graft_entry__.dryrun_multichip).  Without it this "CPU" eval silently
+# lands on the TPU and serializes with whatever training job owns the chip.
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 
@@ -129,7 +137,7 @@ def main():
         nms_pre=1000, score_thr=0.0, iou_thr=0.15, max_out=1000,
         pre_nms_k=args.pre_nms_k)
     cfg = ImVoxelNetConfig(
-        n_voxels=(20, 20, 10), voxel_size=(0.32, 0.32, 0.32),
+        n_voxels=(20, 20, 8), voxel_size=(0.32, 0.32, 0.32),
         fpn_out_channels=16,
         neck=NeckConfig(kind='fast', in_channels=16, out_channels=16,
                         n_blocks=(1, 1, 1)),

@@ -12,6 +12,8 @@ backprojection -> model -> losses/targets -> NMS -> lidar->camera conversion
 """
 import os, pickle, sys
 os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax                      # sitecustomize already imported jax with the
+jax.config.update('jax_platforms', 'cpu')  # axon plugin; env alone is too late
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, cv2, jax, jax.numpy as jnp
 
