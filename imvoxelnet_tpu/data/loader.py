@@ -20,7 +20,7 @@ import numpy as np
 class DataLoader:
     def __init__(self, dataset, batch_size: int, train: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = True, images_dtype=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -30,6 +30,12 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # wire dtype for the (large) image leaf: with a bfloat16 compute
+        # path the model casts inputs to bf16 on device anyway
+        # (resnet.py ``x.astype(self.dtype)``), so casting on the host is
+        # bit-identical (both round-to-nearest-even) and halves the
+        # host->device bytes — which is a serial RPC through the axon tunnel
+        self.images_dtype = images_dtype
 
     def __len__(self):
         n = len(self.dataset)
@@ -61,7 +67,11 @@ class DataLoader:
                         lambda a: self.dataset.get_sample(
                             int(a[0]), self.train, a[1]),
                         zip(idxs, rngs)))
-                    q.put(self.dataset.collate(samples))
+                    batch = self.dataset.collate(samples)
+                    if self.images_dtype is not None:
+                        batch = dict(batch, images=batch['images'].astype(
+                            self.images_dtype))
+                    q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

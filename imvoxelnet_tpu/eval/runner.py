@@ -46,19 +46,28 @@ def run_inference(forward, variables, loader, n_samples, mesh=None):
     """
     import jax
 
+    from ..parallel import mesh as mesh_lib
+
     shard = mesh is not None
     if shard:
-        from ..parallel import mesh as mesh_lib
         n_dev = len(mesh.devices.flat)
 
+    def padded():
+        for batch in loader.epoch(0):
+            if shard and batch['images'].shape[0] % n_dev != 0:
+                shortfall = -batch['images'].shape[0] % n_dev
+                batch = {k: np.concatenate([v] + [v[-1:]] * shortfall)
+                         for k, v in batch.items()}
+            yield batch
+
+    if shard:
+        place = lambda b: mesh_lib.shard_batch(b, mesh)  # noqa: E731
+    else:
+        place = lambda b: jax.device_put(b)              # noqa: E731
     results = []
-    for batch in loader.epoch(0):
-        if shard and batch['images'].shape[0] % n_dev != 0:
-            shortfall = -batch['images'].shape[0] % n_dev
-            batch = {k: np.concatenate([v] + [v[-1:]] * shortfall)
-                     for k, v in batch.items()}
-        if shard:
-            batch = mesh_lib.shard_batch(batch, mesh)
+    # upload batch N+1 while batch N's forward runs (serial RPC otherwise
+    # through the axon tunnel — see parallel/mesh.py:device_prefetch)
+    for batch in mesh_lib.device_prefetch(padded(), place):
         out = jax.device_get(forward(variables, batch))
         for i in range(batch['images'].shape[0]):
             valid = out['valid'][i]
@@ -161,6 +170,11 @@ def build_val_dataset(preset, preset_name, data_root, ann_file, num_workers=4,
         n_images=d.n_images_test, max_gt=d.max_gt, test_mode=True)
     if batch_size is None:
         batch_size = max(1, len(jax.devices()))
+    images_dtype = None
+    if preset.model.compute_dtype == 'bfloat16':
+        import ml_dtypes
+        images_dtype = ml_dtypes.bfloat16   # see data/loader.py: bit-identical
     loader = DataLoader(dataset, batch_size, train=False,
-                        num_workers=num_workers, drop_last=False)
+                        num_workers=num_workers, drop_last=False,
+                        images_dtype=images_dtype)
     return dataset, loader

@@ -116,6 +116,11 @@ def main():
 
     print(f'{len(dataset)} samples, batch {args.batch_size}, '
           f'source {h}x{w} -> pad {pad}, layout {args.layout}')
+    # warmup epoch: first-touch costs (cv2 thread pool, native lib dlopen,
+    # page-cache fill) otherwise inflate whichever worker count runs first
+    for _ in DataLoader(dataset, args.batch_size, train=True,
+                        num_workers=2).epoch(0):
+        pass
     cpu_ms = None
     for workers in (int(x) for x in args.workers.split(',')):
         loader = DataLoader(dataset, args.batch_size, train=True,
@@ -130,9 +135,10 @@ def main():
         print(f'workers={workers:2d}: {n / dt:8.1f} samples/sec '
               f'({dt / n * 1e3:.2f} ms/sample wall, '
               f'{dc / n * 1e3:.2f} ms/sample CPU)')
-        if workers == 1:
-            cpu_ms = dc / n * 1e3
+        cpu_ms = dc / n * 1e3 if cpu_ms is None else min(cpu_ms, dc / n * 1e3)
     if args.target and cpu_ms:
+        # size from the best steady-state CPU cost: wall scaling curves only
+        # mean something on a host with that many cores
         cores = args.target * cpu_ms / 1e3
         print(f'sizing: {cpu_ms:.2f} ms CPU/sample -> {args.target:.0f} '
               f'scenes/sec needs ~{cores:.1f} cores '

@@ -113,8 +113,13 @@ def main():
     dataset = DATASETS[ds_key](
         args.data_root, args.ann_file, d.classes, img_cfg,
         n_images=d.n_images_train, max_gt=d.max_gt, repeat=d.repeat_times)
+    transfer_dtype = None
+    if preset.model.compute_dtype == 'bfloat16':
+        import ml_dtypes
+        transfer_dtype = ml_dtypes.bfloat16    # bit-identical, half the bytes
     loader = DataLoader(dataset, batch_size, train=True, seed=args.seed,
-                        num_workers=args.num_workers)
+                        num_workers=args.num_workers,
+                        images_dtype=transfer_dtype)
     steps_per_epoch = len(loader)
     print(f'dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch, '
           f'{n_dev} devices, global batch {batch_size}')
@@ -203,13 +208,18 @@ def main():
         if tb_writer is not None:
             for k, v in metrics.items():
                 tb_writer.add_scalar(f'val/{k}', float(v), int(state.step))
+    import functools
+    place = functools.partial(mesh_lib.shard_batch, mesh=mesh)
     for epoch in range(start_epoch, epochs):
         t_data = t_step = 0.0
         t0 = time.perf_counter()
-        for it, batch in enumerate(loader.epoch(epoch)):
+        # device_prefetch: the worker thread uploads batch N+1 while step N
+        # executes — through the axon tunnel the device_put RPC otherwise
+        # serializes with every step (docs/performance.md)
+        for it, batch in enumerate(mesh_lib.device_prefetch(
+                loader.epoch(epoch), place)):
             t1 = time.perf_counter()
             t_data += t1 - t0
-            batch = mesh_lib.shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             if (it + 1) % args.log_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
