@@ -161,23 +161,46 @@ def backproject_batch(features, points, projections, valid_hw,
     offs = (jnp.arange(b, dtype=idx.dtype) * (hf * wf))[None, :]
 
     def one_view(carry, view):
+        """Gather one view's contribution.
+
+        Masking rides the *index*, not the gathered values: invalid voxels
+        gather the appended all-zero row, so no ``(P*B, C)`` boolean mask
+        exists.  With the old ``jnp.where(vmask[:, None], ...)`` form XLA
+        hoisted the channel-broadcast mask out of the view loop as a
+        materialised ``pred[V, P*B, C]`` operand — 56 MB of the nuScenes
+        while-loop's 442 MB traffic (round-4 trace, fusion args of
+        ``while.6``).
+        """
         acc, cnt = carry
         feats_v, idx_v, valid_v = view          # (B,Hf,Wf,C), (B,P), (B,P)
-        flat = (idx_v.T + offs).reshape(-1)     # (P*B,) voxel-major
-        gathered = jnp.take(feats_v.reshape(b * hf * wf, c), flat, axis=0,
-                            mode='clip')
         vmask = valid_v.T.reshape(-1)           # (P*B,)
-        gathered = jnp.where(vmask[:, None], gathered, 0.0)
+        flat = jnp.where(vmask, (idx_v.T + offs).reshape(-1), b * hf * wf)
+        table = jnp.concatenate(
+            [feats_v.reshape(b * hf * wf, c),
+             jnp.zeros((1, c), feats_v.dtype)])
+        gathered = jnp.take(table, flat, axis=0, mode='clip')
         return (acc + gathered, cnt + vmask.astype(acc.dtype)), None
 
     init = (jnp.zeros((p * b, c), features.dtype),
             jnp.zeros((p * b,), features.dtype))
     if axis_name is not None:
         init = jax.lax.pcast(init, (axis_name,), to='varying')
-    (acc, cnt), _ = jax.lax.scan(
-        one_view, init,
-        (jnp.swapaxes(features, 0, 1), jnp.swapaxes(idx, 0, 1),
-         jnp.swapaxes(valid, 0, 1)))
+    xs = (jnp.swapaxes(features, 0, 1), jnp.swapaxes(idx, 0, 1),
+          jnp.swapaxes(valid, 0, 1))
+    if v <= 8 and axis_name is None:
+        # Unrolled: the scan's while loop costs real device time in carry
+        # copies and badly-laid-out xs slicing (nuScenes b1: 121 ms/step of
+        # while self-time on a 1.17M-voxel carry — round-4 trace).  For the
+        # static handful of views every config has (1-6; ScanNet's 50-view
+        # TEST path uses backproject(), not this batch variant), a Python
+        # loop lets XLA fuse each view's gather+add with no loop machinery.
+        carry = init
+        for i in range(v):
+            carry, _ = one_view(carry, jax.tree_util.tree_map(
+                lambda x: x[i], xs))
+        acc, cnt = carry
+    else:
+        (acc, cnt), _ = jax.lax.scan(one_view, init, xs)
     return acc.reshape(p, b, c), cnt.reshape(p, b)
 
 
