@@ -20,7 +20,15 @@ import jax.numpy as jnp
 
 
 def bilinear_sample(feat, x, y):
-    """Sample ``feat (H, W, C)`` at float coords ``x, y (...,)``; zero pad."""
+    """Sample ``feat (H, W, C)`` at float coords ``x, y (...,)``; zero pad.
+
+    Coordinates and tap weights are computed in the coords' dtype (f32 from
+    the offset conv — bf16 coords would quantize positions to ~0.5 px at
+    x ~ 64), but the gathered values and the weighted sum ride ``feat``'s
+    dtype: on hardware the (..., 9, C) sampling temps are the DCN step's
+    dominant HBM stream (204 ms/step of the nuScenes train step, round-4
+    trace) and bf16 halves it.
+    """
     h, w, _ = feat.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -32,7 +40,8 @@ def bilinear_sample(feat, x, y):
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         vals = feat.reshape(-1, feat.shape[-1])[yi_c * w + xi_c]
-        return jnp.where(inside[..., None], vals, 0.0) * wgt[..., None]
+        return (jnp.where(inside[..., None], vals, 0)
+                * wgt[..., None].astype(feat.dtype))
 
     return (tap(y0, x0, (1 - dx) * (1 - dy))
             + tap(y0, x0 + 1, dx * (1 - dy))
@@ -73,10 +82,11 @@ class DeformConv2d(nn.Module):
             off = off.reshape(oh, ow, k, 2)
             sy = ys[..., None] + taps_dy + off[..., 0]
             sx = xs[..., None] + taps_dx + off[..., 1]
-            vals = bilinear_sample(feat.astype(jnp.float32), sx, sy)
-            return vals * m[..., None]                       # (oh, ow, 9, C)
+            # sampling rides self.dtype (bf16 on hw) — see bilinear_sample
+            vals = bilinear_sample(feat.astype(self.dtype), sx, sy)
+            return vals * m[..., None].astype(self.dtype)    # (oh, ow, 9, C)
 
-        # remat: the (B, oh, ow, 9, C) f32 sampling temps (9-tap dim pads
+        # remat: the (B, oh, ow, 9, C) sampling temps (9-tap dim pads
         # 1.8x under TPU tiling) OOM the nuScenes train step if stored for
         # the backward; recomputing them is cheap next to the matmul
         sampled = jax.checkpoint(jax.vmap(sample_image))(x, offset, mask)
