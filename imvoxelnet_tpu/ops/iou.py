@@ -308,24 +308,29 @@ _rect_intersection_area_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2):
-    """Pairwise rotated BEV intersection areas ``(N, M)``.
+    """Pairwise rotated BEV intersection areas ``(..., N, M)``.
 
-    Parity: ``boxes_overlap_bev_gpu`` (``iou3d_kernel.cu:253-267``).
+    Parity: ``boxes_overlap_bev_gpu`` (``iou3d_kernel.cu:253-267``).  Leading
+    batch dims (e.g. a class axis in multiclass NMS) broadcast — pairing is
+    over the last box axis only, and the whole batch lands in ONE flattened
+    Pallas clip call.
     """
     c1 = box_ops.bev_corners(boxes_xywhr1)
     c2 = box_ops.bev_corners(boxes_xywhr2)
-    return rect_intersection_area(c1[:, None], c2[None, :])
+    return rect_intersection_area(c1[..., :, None, :, :],
+                                  c2[..., None, :, :, :])
 
 
 def rotated_iou_bev(boxes_xywhr1, boxes_xywhr2):
-    """Pairwise rotated BEV IoU ``(N, M)``.
+    """Pairwise rotated BEV IoU ``(..., N, M)``.
 
     Parity: ``boxes_iou_bev_gpu`` (``iou3d_kernel.cu:268-283``).
     """
     inter = rotated_overlaps_bev(boxes_xywhr1, boxes_xywhr2)
-    a1 = boxes_xywhr1[:, 2] * boxes_xywhr1[:, 3]
-    a2 = boxes_xywhr2[:, 2] * boxes_xywhr2[:, 3]
-    return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, _EPS)
+    a1 = boxes_xywhr1[..., 2] * boxes_xywhr1[..., 3]
+    a2 = boxes_xywhr2[..., 2] * boxes_xywhr2[..., 3]
+    return inter / jnp.maximum(
+        a1[..., :, None] + a2[..., None, :] - inter, _EPS)
 
 
 def bbox_overlaps_3d(boxes1, boxes2, mode: str = 'iou'):
