@@ -42,6 +42,11 @@ def device_prefetch(batches, place, depth: int = 2):
     its 0.69 s wall uploading the 24 MB image batch — docs/performance.md
     "Host->device transfer").  The reference hides the same cost inside
     torch DataLoader's ``pin_memory`` + CUDA async H2D copies.
+
+    HBM note: up to ``depth + 1`` placed batches are resident on device at
+    once (``depth`` in the queue + the one the consumer holds), raising the
+    input high-water mark by ``depth x batch_bytes``.  For large-image
+    presets (nuScenes 6x928x1600 ~ 100 MB/batch) prefer ``depth=1``.
     """
     import queue
     import threading

@@ -141,3 +141,33 @@ def test_dcn_matches_numpy_oracle():
         assert np.abs(expected).max() > 0
         np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5,
                                    err_msg=f'stride={stride}')
+
+
+def test_dcn_bf16_sampling_close_to_f32():
+    """Accuracy guard for the hardware bf16 sampling path (ADVICE r4): the
+    bf16-dtype module must track the f32 bit-path within bf16 rounding on
+    realistic magnitudes, with random (nonzero) offsets exercising the
+    bilinear lerp.  Catches regressions that silently change which parts of
+    the sampling ride the reduced precision (coords must stay f32 — a bf16
+    coord at x~64 quantizes position by ~0.5 px and would blow this bound)."""
+    rng = np.random.RandomState(7)
+    b, h, w, c, f = 2, 16, 64, 8, 8
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    dcn32 = DeformConv2d(f, dtype=jnp.float32)
+    dcn16 = DeformConv2d(f, dtype=jnp.bfloat16)
+    variables = dcn32.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    ok = (0.3 * rng.randn(3, 3, c, 27)).astype(np.float32)
+    ob = (0.5 * rng.randn(27)).astype(np.float32)
+    params = dict(kernel=params['kernel'],
+                  conv_offset=dict(kernel=ok, bias=ob))
+    out32 = np.asarray(dcn32.apply({'params': params}, jnp.asarray(x)))
+    out16 = np.asarray(dcn16.apply({'params': params}, jnp.asarray(x)),
+                       dtype=np.float32)
+    # bf16 has ~8 mantissa bits (eps ~ 7.8e-3); sampling + 9C-deep matmul
+    # accumulates a few ulps — bound the error relative to the output scale
+    scale = np.abs(out32).max()
+    err = np.abs(out16 - out32).max() / scale
+    assert err < 0.03, f'bf16 DCN deviates {err:.4f} (rel to max |out|)'
+    # and it must not be bit-identical (i.e. the bf16 path actually ran)
+    assert np.abs(out16 - out32).max() > 0

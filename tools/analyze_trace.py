@@ -113,9 +113,11 @@ def main():
     print(f'{"op":<64} {unit:>12} {"calls":>7} {"%":>6}')
     shown = 0.0
     for name, ms in total.most_common():
-        if shown >= args.top and ms / div < max(args.min_ms, 1e-9):
-            break
-        if shown >= args.top:
+        # --min-ms extends the listing past --top: rows at or above the
+        # threshold keep printing (with the default 0 the table stops at
+        # --top exactly).
+        if shown >= args.top and not (args.min_ms > 0
+                                      and ms / div >= args.min_ms):
             break
         print(f'{name[:64]:<64} {ms / div:12.2f} {count[name]:7d} '
               f'{100 * ms / lane_total:6.1f}')

@@ -39,36 +39,44 @@ def make_split(base, root, name, n_scenes, rng, start_idx=0):
     os.makedirs(img_dir, exist_ok=True)
     for s in range(n_scenes):
         idx = start_idx + s
-        n_cars = rng.randint(1, 5)
-        img = rng.randint(0, 60, (375, 1242, 3)).astype(np.uint8)
-        names, bboxes, dims, locs, rots = [], [], [], [], []
-        for _ in range(n_cars):
-            # camera frame: x right, y down (ground ~1.6m below cam), z fwd
-            loc = np.array([rng.uniform(-8.0, 8.0), rng.uniform(1.4, 1.7),
-                            rng.uniform(8.0, 45.0)])
-            rot = rng.uniform(-np.pi, np.pi)
-            l, h, w = (rng.uniform(3.5, 4.5), rng.uniform(1.4, 1.8),
-                       rng.uniform(1.5, 1.8))
-            uvw = p2[:3, :3] @ loc + p2[:3, 3]
-            u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
-            if not (40 < u < 1202 and 40 < v < 345):
-                continue
-            # apparent size ~ focal * metric / depth; jitter intensity so
-            # the score distribution is not degenerate
-            fu = p2[0, 0]
-            hw = max(6, int(fu * l / (2.5 * loc[2])))
-            hh = max(5, int(fu * h / (2.0 * loc[2])))
-            tint = int(rng.uniform(140, 255))
-            cv2.rectangle(img, (int(u) - hw, int(v) - hh),
-                          (int(u) + hw, int(v) + int(0.4 * hh)),
-                          (tint, tint, tint), -1)
-            names.append('Car')
-            bboxes.append([u - hw, v - hh, u + hw, v + 0.4 * hh])
-            dims.append([l, h, w])
-            locs.append(loc)
-            rots.append(rot)
-        if not names:       # everything fell outside the frustum: one retry
-            continue
+        # Retry until at least one car lands inside the frustum so every
+        # requested index is written exactly once (a skipped index would let a
+        # later split starting at `start_idx + n_scenes` stay disjoint but
+        # shrink the epoch; worse, the pre-fix code skipped indices AND
+        # started val at the written-count, overwriting train PNGs).
+        names = []
+        for _attempt in range(64):
+            n_cars = rng.randint(1, 5)
+            img = rng.randint(0, 60, (375, 1242, 3)).astype(np.uint8)
+            names, bboxes, dims, locs, rots = [], [], [], [], []
+            for _ in range(n_cars):
+                # camera frame: x right, y down (ground ~1.6m below cam), z fwd
+                loc = np.array([rng.uniform(-8.0, 8.0), rng.uniform(1.4, 1.7),
+                                rng.uniform(8.0, 45.0)])
+                rot = rng.uniform(-np.pi, np.pi)
+                l, h, w = (rng.uniform(3.5, 4.5), rng.uniform(1.4, 1.8),
+                           rng.uniform(1.5, 1.8))
+                uvw = p2[:3, :3] @ loc + p2[:3, 3]
+                u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
+                if not (40 < u < 1202 and 40 < v < 345):
+                    continue
+                # apparent size ~ focal * metric / depth; jitter intensity so
+                # the score distribution is not degenerate
+                fu = p2[0, 0]
+                hw = max(6, int(fu * l / (2.5 * loc[2])))
+                hh = max(5, int(fu * h / (2.0 * loc[2])))
+                tint = int(rng.uniform(140, 255))
+                cv2.rectangle(img, (int(u) - hw, int(v) - hh),
+                              (int(u) + hw, int(v) + int(0.4 * hh)),
+                              (tint, tint, tint), -1)
+                names.append('Car')
+                bboxes.append([u - hw, v - hh, u + hw, v + 0.4 * hh])
+                dims.append([l, h, w])
+                locs.append(loc)
+                rots.append(rot)
+            if names:
+                break
+        assert names, f'scene {idx}: no in-frustum car after 64 attempts'
         k = len(names)
         rel = f'training/image_2/{idx:06d}.png'
         cv2.imwrite(os.path.join(root, rel), img)
@@ -108,8 +116,10 @@ def main():
         base = pickle.load(f)[0]
     rng = np.random.RandomState(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    n = make_split(base, args.out, 'train', args.train, rng)
-    make_split(base, args.out, 'val', args.val, rng, start_idx=n)
+    # Val indices start at the REQUESTED train count, not the written count,
+    # so the two splits can never share an image index.
+    make_split(base, args.out, 'train', args.train, rng)
+    make_split(base, args.out, 'val', args.val, rng, start_idx=args.train)
 
 
 if __name__ == '__main__':

@@ -215,7 +215,11 @@ def main():
         t0 = time.perf_counter()
         # device_prefetch: the worker thread uploads batch N+1 while step N
         # executes — through the axon tunnel the device_put RPC otherwise
-        # serializes with every step (docs/performance.md)
+        # serializes with every step (docs/performance.md).  With prefetch,
+        # the logged data_time is QUEUE-WAIT (time the step blocked on input
+        # not yet ready), not host pipeline time — 0 means fully overlapped,
+        # unlike the reference's DataLoader data_time which measures the
+        # pipeline itself.
         for it, batch in enumerate(mesh_lib.device_prefetch(
                 loader.epoch(epoch), place)):
             t1 = time.perf_counter()
