@@ -198,6 +198,15 @@ def multiclass_nms_3d(mlvl_bboxes,
     finally keeps the ``max_num`` highest-scoring survivors; we do the same
     with a static per-class candidate cap ``pre_nms_k``.
 
+    Tie ordering: candidate ranking comes from ``lax.top_k``, which breaks
+    exact score ties lowest-index-first — i.e. the earlier candidate row wins
+    and may suppress the later one.  This matches what a stable descending
+    argsort (the pre-round-4 formulation, and torch ``sort`` in the
+    reference's scoring path) produces, and is pinned by
+    ``tests/test_nms.py::test_multiclass_nms_batched_equals_per_class_map``
+    (which injects exact ties); for continuous float scores ties are
+    measure-zero anyway.
+
     Args:
       mlvl_bboxes: ``(N, D)`` decoded boxes (D = 7 or 9).
       mlvl_bboxes_for_nms: ``(N, 5)`` BEV xywhr boxes used for suppression.

