@@ -95,12 +95,13 @@ def load_hlo_sources(path):
             raise SystemExit(f'no HLO .txt under {path}')
         path = cands[-1]
     body_sources = {}           # computation name -> Counter{file:line}
-    op_calls = {}               # op name -> computation name
+    body_calls = {}             # computation name -> [nested computations]
+    op_calls = {}               # top-level op name -> computation name
     current = None
     meta_rx = re.compile(
         r'source_file="([^"]+)"(?:\s+source_line=(\d+))?')
     comp_rx = re.compile(r'^%?(\S+)\s+\([^)]*\)\s*->')
-    call_rx = re.compile(r'%(\S+?)\s*=.*calls=%(\S+?)[,\s}]')
+    call_rx = re.compile(r'%(\S+?)\s*=.*calls=%([\w.\-]+)')
     with open(path) as f:
         for line in f:
             stripped = line.strip()
@@ -108,6 +109,7 @@ def load_hlo_sources(path):
             if m and stripped.endswith('{'):
                 current = m.group(1)
                 body_sources[current] = collections.Counter()
+                body_calls[current] = []
                 continue
             if stripped == '}':
                 current = None
@@ -115,6 +117,10 @@ def load_hlo_sources(path):
             cm = call_rx.search(stripped)
             if cm:
                 op_calls[cm.group(1)] = cm.group(2)
+                if current is not None:
+                    # nested fusion inside a fusion body (TPU custom/loop
+                    # fusions nest): its metadata lives one level deeper
+                    body_calls[current].append(cm.group(2))
             if current is not None:
                 sm = meta_rx.search(stripped)
                 if sm:
@@ -122,6 +128,22 @@ def load_hlo_sources(path):
                     if sm.group(2):
                         src += f':{sm.group(2)}'
                     body_sources[current][src] += 1
+
+    resolved = {}
+
+    def resolve(comp, stack=()):
+        """Transitive source counter of a computation incl. nested calls."""
+        if comp in resolved:
+            return resolved[comp]
+        if comp in stack or comp not in body_sources:
+            return collections.Counter()
+        total = collections.Counter(body_sources[comp])
+        for sub in body_calls.get(comp, ()):
+            total += resolve(sub, stack + (comp,))
+        # regions referenced via to_apply (scatter/reduce combiners) share
+        # the "<comp>.clone"/region naming; pick them up by prefix match
+        resolved[comp] = total
+        return total
 
     def dominant(counter):
         if not counter:
@@ -132,10 +154,9 @@ def load_hlo_sources(path):
 
     out = {}
     for op, comp in op_calls.items():
-        src = dominant(body_sources.get(comp, None))
+        src = dominant(resolve(comp))
         if src:
             out[op] = src
-    # instructions with inline metadata but no calls= (copies, reshapes)
     return out
 
 
