@@ -12,6 +12,7 @@ straight onto the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -19,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bilinear_sample(feat, x, y):
+def bilinear_sample(feat, x, y, window: bool | None = None):
     """Sample ``feat (H, W, C)`` at float coords ``x, y (...,)``; zero pad.
 
     Coordinates and tap weights are computed in the coords' dtype (f32 from
@@ -28,25 +29,79 @@ def bilinear_sample(feat, x, y):
     dtype: on hardware the (..., 9, C) sampling temps are the DCN step's
     dominant HBM stream (204 ms/step of the nuScenes train step, round-4
     trace) and bf16 halves it.
+
+    Two bit-identical formulations (same rows, same weights, same add
+    order), selected by ``window`` / ``IMVOXELNET_TPU_DCN_WINDOW_GATHER``:
+
+    - row gathers (``window=False``, DEFAULT): 4 independent per-corner
+      gathers of ``(N, C)`` rows from the flattened map.  Their BACKWARD is
+      4 XLA row-scatter-adds — measured at 167.6 ms/step = 18% of the
+      nuScenes train step (round-5 HLO-body attribution, the former
+      "(no source)" bucket).
+    - 2x2 window gather (``window=True``): ONE ``lax.gather`` of
+      ``(N, 2, 2, C)`` patches at ``(clip(y0), clip(x0))`` starts; each
+      corner's value is selected from the patch by its window-relative
+      index, masked/weighted exactly as before — so autodiff emits one
+      windowed scatter-add with 2x2xC contiguous updates instead of 4 row
+      scatters.  Measured NEGATIVE, catastrophically: the nuScenes train
+      step went 1014 -> 11031 ms/batch (round 5, hardware) — XLA:TPU
+      lowers the multi-dim window gather/scatter far worse than flat row
+      gathers.  Kept behind the env knob for re-testing on toolchain
+      bumps; docs/performance.md round-5 DCN section.
     """
-    h, w, _ = feat.shape
+    if window is None:
+        flag = os.environ.get('IMVOXELNET_TPU_DCN_WINDOW_GATHER', '').lower()
+        window = flag not in ('', '0', 'false', 'no')
+    h, w, c = feat.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     dx = x - x0
     dy = y - y0
 
-    def tap(yi, xi, wgt):
-        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        vals = feat.reshape(-1, feat.shape[-1])[yi_c * w + xi_c]
-        return (jnp.where(inside[..., None], vals, 0)
-                * wgt[..., None].astype(feat.dtype))
+    if not window:
+        def tap(yi, xi, wgt):
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            vals = feat.reshape(-1, feat.shape[-1])[yi_c * w + xi_c]
+            return (jnp.where(inside[..., None], vals, 0)
+                    * wgt[..., None].astype(feat.dtype))
 
-    return (tap(y0, x0, (1 - dx) * (1 - dy))
-            + tap(y0, x0 + 1, dx * (1 - dy))
-            + tap(y0 + 1, x0, (1 - dx) * dy)
-            + tap(y0 + 1, x0 + 1, dx * dy))
+        return (tap(y0, x0, (1 - dx) * (1 - dy))
+                + tap(y0, x0 + 1, dx * (1 - dy))
+                + tap(y0 + 1, x0, (1 - dx) * dy)
+                + tap(y0 + 1, x0 + 1, dx * dy))
+
+    # window starts clipped so the 2x2 patch stays in bounds; an in-bounds
+    # corner (yi, xi) is then always at window-relative index
+    # (yi - ys, xi - xs) in {0, 1}^2, out-of-bounds corners are masked to 0
+    # exactly like the row-gather path
+    ys = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+    starts = jnp.stack([ys, xs], axis=-1).reshape(-1, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    win = jax.lax.gather(feat, starts, dnums, slice_sizes=(2, 2, c),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    win = win.reshape(x.shape + (2, 2, c))              # (..., 2, 2, C)
+
+    out = None
+    for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):     # row-gather order
+        yi = y0 + cy
+        xi = x0 + cx
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        ry = (yi.astype(jnp.int32) - ys)[..., None]     # 0/1 when inside
+        rx = (xi.astype(jnp.int32) - xs)[..., None]
+        row = jnp.where(ry == 0, win[..., 0, :, :].reshape(x.shape + (2 * c,)),
+                        win[..., 1, :, :].reshape(x.shape + (2 * c,)))
+        row = row.reshape(x.shape + (2, c))
+        vals = jnp.where(rx == 0, row[..., 0, :], row[..., 1, :])
+        wgt = ((1 - dx) if cx == 0 else dx) * ((1 - dy) if cy == 0 else dy)
+        term = (jnp.where(inside[..., None], vals, 0)
+                * wgt[..., None].astype(feat.dtype))
+        out = term if out is None else out + term
+    return out
 
 
 class DeformConv2d(nn.Module):

@@ -18,6 +18,14 @@ def _upsample_nearest_2x(x, out_hw):
     """Nearest upsample to ``out_hw`` (handles odd sizes like torch interpolate)."""
     n, h, w, c = x.shape
     oh, ow = out_hw
+    if oh == 2 * h and ow == 2 * w:
+        # exact 2x: broadcast-reshape writes the output once; the general
+        # path's two chained gathers materialize an (n, oh, w, c)
+        # intermediate as well.  Bit-identical selection (out[i, j] =
+        # x[i//2, j//2] either way); the 50-view ScanNet FPN is HBM-bound
+        # (docs/performance.md round 5), so bytes are the cost here.
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+        return y.reshape(n, oh, ow, c)
     # nearest with scale factor: index mapping floor(i * h / oh)
     rows = (jnp.arange(oh) * h) // oh
     cols = (jnp.arange(ow) * w) // ow
