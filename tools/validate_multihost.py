@@ -97,10 +97,24 @@ def _worker(pid: int, port: int, out: str):
     # contiguous global rows [2*pid, 2*pid+2)
     assert mine == [pid * _LOCAL_DEVICES, pid * _LOCAL_DEVICES + 1], mine
 
-    state, batch, step_fn = _tiny_setup(jax)
     mesh = Mesh(np.asarray(devices), ('data',))
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P('data'))
+
+    # Establish the gloo context NOW, while both processes are still in
+    # lock-step: a coordination-service barrier followed by one trivial
+    # cross-process collective.  Gloo's key exchange has a 30 s deadline;
+    # on a 1-core host the heavy model-init compiles below serialize for
+    # minutes, so deferring the first collective until then times it out
+    # (measured: GetKeyValue() DEADLINE_EXCEEDED under the pytest run).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices('gloo-warmup')
+    tiny = jax.make_array_from_process_local_data(
+        dp, np.ones((_GLOBAL_BATCH // _PROCESSES, 1), np.float32))
+    total = jax.jit(lambda t: t.sum(), out_shardings=rep)(tiny)
+    assert float(np.asarray(total)) == _GLOBAL_BATCH, np.asarray(total)
+
+    state, batch, step_fn = _tiny_setup(jax)
 
     lo = pid * (_GLOBAL_BATCH // _PROCESSES)
     hi = lo + _GLOBAL_BATCH // _PROCESSES
