@@ -105,3 +105,41 @@ def test_publish_model_strips_optimizer_state(tmp_path, monkeypatch, capsys):
     with open(published, 'rb') as f:
         slim = pickle.load(f)
     assert set(slim) == {'params', 'batch_stats', 'meta'}
+
+
+def test_analyze_trace_hlo_body_sources(tmp_path):
+    """load_hlo_sources resolves fusion -> dominant repo source through
+    NESTED fused computations (TPU custom/loop fusions put metadata one
+    level down) and through line-final ``calls=`` with no trailing comma —
+    both were round-5 parser bugs that silently dropped the mapping."""
+    import analyze_trace
+
+    hlo = '''
+%region_1.2 (p0: bf16[], p1: bf16[]) -> bf16[] {
+  %p0 = bf16[] parameter(0)
+  ROOT %add.1 = bf16[] add(%p0, %p0), metadata={op_name="scatter-add" source_file="/root/repo/imvoxelnet_tpu/models/dcn.py" source_line=43}
+}
+
+%fused_computation.9.clone (p0: bf16[8,4]) -> bf16[8,4] {
+  %p0 = bf16[8,4] parameter(0)
+  %t.1 = bf16[8,4] transpose(%p0), dimensions={0,1}, metadata={op_name="x" source_file="/root/repo/imvoxelnet_tpu/models/dcn.py" source_line=43}
+  ROOT %scatter.1 = bf16[8,4] scatter(%p0, %t.1), to_apply=%region_1.2, metadata={source_file="/opt/venv/lib/site-packages/flax/linen/linear.py" source_line=700}
+}
+
+%fused_computation.9 (p0: bf16[8,4]) -> bf16[8,4] {
+  %p0 = bf16[8,4] parameter(0)
+  ROOT %fusion.2 = bf16[8,4] fusion(%p0), kind=kCustom, calls=%fused_computation.9.clone
+}
+
+ENTRY %main (p0: bf16[8,4]) -> bf16[8,4] {
+  %p0 = bf16[8,4] parameter(0)
+  ROOT %fusion.1 = bf16[8,4] fusion(%p0), kind=kCustom, calls=%fused_computation.9, backend_config={}
+}
+'''
+    path = tmp_path / 'mod.after_optimizations.txt'
+    path.write_text(hlo)
+    src = analyze_trace.load_hlo_sources(str(path))
+    # fusion.1 -> fused_computation.9 -> (nested) .9.clone; the repo source
+    # outranks the site-packages one regardless of count
+    assert src['fusion.1'] == '/root/repo/imvoxelnet_tpu/models/dcn.py:43'
+    assert src['fusion.2'] == '/root/repo/imvoxelnet_tpu/models/dcn.py:43'
