@@ -74,6 +74,21 @@ class Scale(nn.Module):
         return x * s
 
 
+class _Kernel(nn.Module):
+    """Bias-free 3x3x3 conv kernel holder: declares the SAME param path as
+    the ``nn.Conv`` it replaces (``<name>/kernel``, same shape, same lecun
+    init — so checkpoint manifests, the torch converter and even PRNG-keyed
+    init values are unchanged) but returns the kernel instead of running
+    its own convolution, letting the head fuse several prediction heads
+    into ONE lane-padded conv (see ``IndoorHead.__call__``)."""
+
+    out_feats: int
+    @nn.compact
+    def __call__(self, in_feats):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          (3, 3, 3, in_feats, self.out_feats))
+
+
 def _conv3(feats, use_bias, name, dtype=jnp.float32):
     return nn.Conv(feats, (3, 3, 3), padding=((1, 1),) * 3, use_bias=use_bias,
                    kernel_init=nn.initializers.normal(0.01), dtype=dtype,
@@ -116,8 +131,28 @@ class IndoorHead(nn.Module):
                     nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name=f'cls_tower_bn_{j}')))
-        centerness_conv = _conv3(1, False, 'centerness_conv', self.dtype)
-        reg_conv = _conv3(cfg.n_reg_outs, False, 'reg_conv', self.dtype)
+        # centerness and reg predictions consume the SAME feature map in
+        # both head versions (v1: the reg tower output; v2: x directly), so
+        # their two bias-free convs fuse into ONE conv of 1 + n_reg_outs
+        # output channels.  The MXU pads output channels to 128 lanes
+        # either way, so separate tiny-C_out convs each pay the full padded
+        # cost: the round-5 SUN RGB-D v1 trace measured the three final
+        # prediction convs at 7.4 ms EACH on the finest (80x80x32) level at
+        # <10 TF/s.  Per-output-channel conv math is independent, so the
+        # fused conv is numerically identical; params keep the reference
+        # names/shapes via _Kernel.  (cls_conv stays separate: different
+        # input in v1, and it carries a bias + focal prior init.)
+        centerness_kernel = _Kernel(1, name='centerness_conv')(n_channels)
+        reg_kernel = _Kernel(cfg.n_reg_outs, name='reg_conv')(n_channels)
+        fused_kernel = jnp.concatenate(
+            [centerness_kernel, reg_kernel], axis=-1).astype(self.dtype)
+
+        def center_reg_conv(feat):
+            out = jax.lax.conv_general_dilated(
+                feat, fused_kernel, window_strides=(1, 1, 1),
+                padding=((1, 1),) * 3,
+                dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+            return out[..., :1], out[..., 1:]
         cls_conv = nn.Conv(
             cfg.n_classes, (3, 3, 3), padding=((1, 1),) * 3,
             kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
@@ -131,12 +166,11 @@ class IndoorHead(nn.Module):
                 for (rc, rbn), (cc, cbn) in zip(reg_tower, cls_tower):
                     reg_feat = nn.relu(rbn(rc(reg_feat)))
                     cls_feat = nn.relu(cbn(cc(cls_feat)))
-                center_in = reg_feat
-            else:
-                center_in = x
-
-            centerness = centerness_conv(center_in).astype(jnp.float32)
-            reg_final = reg_conv(reg_feat).astype(jnp.float32)
+            # centerness input == reg input in both versions (v1: tower
+            # output, imvoxel_head.py:72-76; v2: x, imvoxel_head_v2.py:57)
+            centerness, reg_final = center_reg_conv(reg_feat)
+            centerness = centerness.astype(jnp.float32)
+            reg_final = reg_final.astype(jnp.float32)
             scale = level_scales[i]
             if cfg.with_yaw:
                 distance = jnp.exp(scale(reg_final[..., :6]))
