@@ -55,8 +55,11 @@ def test_view_sharded_backproject_matches():
 def test_view_sharded_detector_end_to_end():
     """The VIEW-sharded detector (backbone+FPN+gather per shard, psum,
     replicated neck+head — ``view_shard_axis`` + ``view_sharded_forward``)
-    must match the unsharded detector exactly.  ScanNet-style multi-view:
-    16 views over 8 devices = 2 views/device."""
+    must match the unsharded detector up to reduction-order noise (the
+    psum over per-shard partial sums reorders the multi-view mean vs the
+    unsharded accumulation, so last-ulp drift on O(1) activations is
+    expected — hence rtol below, not exact equality).  ScanNet-style
+    multi-view: 16 views over 8 devices = 2 views/device."""
     import dataclasses
 
     from imvoxelnet_tpu.models.detector import ImVoxelNet
@@ -95,4 +98,4 @@ def test_view_sharded_detector_end_to_end():
             jax.tree_util.tree_leaves(ref_outs),
             jax.tree_util.tree_leaves(sh_outs))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
-                                   err_msg=f'level {lvl}')
+                                   rtol=1e-5, err_msg=f'level {lvl}')
