@@ -76,16 +76,17 @@ class Scale(nn.Module):
 
 class _Kernel(nn.Module):
     """Bias-free 3x3x3 conv kernel holder: declares the SAME param path as
-    the ``nn.Conv`` it replaces (``<name>/kernel``, same shape, same lecun
-    init — so checkpoint manifests, the torch converter and even PRNG-keyed
-    init values are unchanged) but returns the kernel instead of running
-    its own convolution, letting the head fuse several prediction heads
-    into ONE lane-padded conv (see ``IndoorHead.__call__``)."""
+    the ``nn.Conv`` it replaces (``<name>/kernel``, same shape, same
+    normal(0.01) init as ``_conv3`` and the reference's
+    ``normal_init(std=.01)``, imvoxel_head.py:74-75) but returns the kernel
+    instead of running its own convolution, letting the head fuse several
+    prediction heads into ONE lane-padded conv (see
+    ``IndoorHead.__call__``)."""
 
     out_feats: int
     @nn.compact
     def __call__(self, in_feats):
-        return self.param('kernel', nn.initializers.lecun_normal(),
+        return self.param('kernel', nn.initializers.normal(0.01),
                           (3, 3, 3, in_feats, self.out_feats))
 
 

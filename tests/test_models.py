@@ -187,3 +187,30 @@ def test_predicted_extrinsics_properties():
         r = ext[:3, :3]
         np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
         np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_indoor_head_prediction_conv_init_std():
+    """Init fidelity: the prediction convs must draw from normal(std=.01)
+    like the reference's ``normal_init(layer, std=.01)``
+    (imvoxel_head.py:66-76).  Regression guard for the round-5 fused
+    centerness+reg kernel holder (``_Kernel``), which briefly shipped with
+    lecun init instead."""
+    import jax
+    import jax.numpy as jnp
+    from imvoxelnet_tpu.models.heads.imvoxel_heads import (IndoorHead,
+                                                           IndoorHeadConfig)
+
+    cfg = IndoorHeadConfig(n_classes=10, n_reg_outs=7,
+                           voxel_size=(0.16, 0.16, 0.2), dataset='sunrgbd',
+                           version=1, centerness_topk=28)
+    head = IndoorHead(cfg)
+    xs = [jnp.zeros((1, 8, 8, 4, 64)) for _ in range(3)]
+    variables = head.init(jax.random.PRNGKey(0), xs, train=False)
+    params = variables['params']
+    for name in ('centerness_conv', 'reg_conv', 'cls_conv'):
+        k = np.asarray(params[name]['kernel'])
+        # sample std of >=1.7k draws from N(0, .01): well within 15%
+        assert abs(float(k.std()) - 0.01) < 0.0015, (name, float(k.std()))
+    # focal-prior bias on cls only (bias_init_with_prob(.01))
+    b = float(np.asarray(params['cls_conv']['bias'])[0])
+    np.testing.assert_allclose(b, -np.log((1 - 0.01) / 0.01), rtol=1e-5)
