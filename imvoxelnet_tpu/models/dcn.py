@@ -59,6 +59,32 @@ def bilinear_sample(feat, x, y, window: bool | None = None):
     dy = y - y0
 
     if not window:
+        corners = ((y0, x0, (1 - dx) * (1 - dy)),
+                   (y0, x0 + 1, dx * (1 - dy)),
+                   (y0 + 1, x0, (1 - dx) * dy),
+                   (y0 + 1, x0 + 1, dx * dy))
+        stacked = os.environ.get('IMVOXELNET_TPU_DCN_STACKED_GATHER',
+                                 '').lower() not in ('', '0', 'false', 'no')
+        if stacked:
+            # One gather of all 4 corners' rows -> autodiff emits ONE
+            # backward scatter-add of 4N rows instead of 4 scatters of N
+            # rows (same rows, same weights, same add order as the default
+            # path — bit-identical forward).  Experiment knob; see
+            # docs/performance.md round-5 DCN section for the measurement.
+            flats, insides, wgts = [], [], []
+            for yi, xi, wgt in corners:
+                insides.append((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+                flats.append(jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+                             + jnp.clip(xi, 0, w - 1).astype(jnp.int32))
+                wgts.append(wgt)
+            vals = feat.reshape(-1, feat.shape[-1])[jnp.stack(flats)]
+            out = None
+            for i in range(4):
+                term = (jnp.where(insides[i][..., None], vals[i], 0)
+                        * wgts[i][..., None].astype(feat.dtype))
+                out = term if out is None else out + term
+            return out
+
         def tap(yi, xi, wgt):
             inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
@@ -67,10 +93,8 @@ def bilinear_sample(feat, x, y, window: bool | None = None):
             return (jnp.where(inside[..., None], vals, 0)
                     * wgt[..., None].astype(feat.dtype))
 
-        return (tap(y0, x0, (1 - dx) * (1 - dy))
-                + tap(y0, x0 + 1, dx * (1 - dy))
-                + tap(y0 + 1, x0, (1 - dx) * dy)
-                + tap(y0 + 1, x0 + 1, dx * dy))
+        return (tap(*corners[0]) + tap(*corners[1])
+                + tap(*corners[2]) + tap(*corners[3]))
 
     # window starts clipped so the 2x2 patch stays in bounds; an in-bounds
     # corner (yi, xi) is then always at window-relative index

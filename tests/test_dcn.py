@@ -171,3 +171,29 @@ def test_dcn_bf16_sampling_close_to_f32():
     assert err < 0.03, f'bf16 DCN deviates {err:.4f} (rel to max |out|)'
     # and it must not be bit-identical (i.e. the bf16 path actually ran)
     assert np.abs(out16 - out32).max() > 0
+
+
+def test_dcn_stacked_gather_formulation_equivalent(monkeypatch):
+    """The stacked-corner gather (one gather of all 4 corners -> ONE backward
+    scatter-add, ``IMVOXELNET_TPU_DCN_STACKED_GATHER``) must be bit-identical
+    to the default 4-gather path in the forward and in the coordinate grads
+    (same rows, same weights, same add order); the feature grad may differ
+    only by scatter accumulation order."""
+    rng = np.random.RandomState(11)
+    feat = jnp.asarray(rng.randn(13, 17, 8).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 19, size=(5, 7, 9)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-2, 15, size=(5, 7, 9)).astype(np.float32))
+
+    def run(flag):
+        monkeypatch.setenv('IMVOXELNET_TPU_DCN_STACKED_GATHER', flag)
+        out = bilinear_sample(feat, x, y)
+        grads = jax.grad(lambda a, b, c_: (bilinear_sample(a, b, c_) ** 2).sum(),
+                         argnums=(0, 1, 2))(feat, x, y)
+        return np.asarray(out), [np.asarray(g) for g in grads]
+
+    out0, g0 = run('0')
+    out1, g1 = run('1')
+    np.testing.assert_array_equal(out0, out1)
+    np.testing.assert_array_equal(g0[1], g1[1])   # d/dx
+    np.testing.assert_array_equal(g0[2], g1[2])   # d/dy
+    np.testing.assert_allclose(g0[0], g1[0], rtol=1e-5, atol=1e-6)  # d/dfeat
